@@ -1,19 +1,20 @@
 """Test harness configuration.
 
 Runs all tests on the CPU backend with 8 virtual devices so sharding tests
-exercise multi-chip code paths without TPU hardware. Must set the
-environment before the first ``import jax`` anywhere.
+exercise multi-chip code paths without TPU hardware. The ambient
+environment preloads JAX with a tunneled TPU platform ("axon") via
+sitecustomize, so the env-var route is too late — use jax.config before any
+backend is initialized instead.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+if os.environ.get("GNSS_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
