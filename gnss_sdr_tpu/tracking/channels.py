@@ -1,0 +1,139 @@
+"""Host-side multi-channel tracking wrapper.
+
+Owns the 64-bit absolute bookkeeping the device program deliberately avoids
+(sample counters, accumulated carrier phase) and the acquisition->tracking
+pull-in alignment (dll_pll_veml_tracking.cc:1813-1844). Emits per-PRN-period
+records equivalent to the reference's ``Gnss_Synchro`` output stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sdr_tpu.tracking.engine import TrackingConfig, TrackingEngine
+
+TWO_PI = 2.0 * math.pi
+
+
+@dataclasses.dataclass
+class PeriodOutput:
+    """One PRN period's tracking output (a Gnss_Synchro row)."""
+
+    channel: int
+    prn: int
+    sample_start: int            # absolute sample index of period start
+    length: int
+    rem_code_phase_samples: float
+    prompt: complex
+    corr: np.ndarray             # all taps [T]
+    carrier_doppler_hz: float
+    code_freq_chips: float
+    acc_carrier_phase_rad: float  # accumulated (64-bit, host)
+    cn0_db_hz: float
+    carrier_lock_test: float
+    evm: float
+    loss_of_lock: bool
+
+
+class TrackingChannels:
+    """N tracking channels over a block-streamed sample source."""
+
+    def __init__(self, cfg: TrackingConfig, n_channels: int,
+                 block_samples: int):
+        self.cfg = cfg
+        self.engine = TrackingEngine(cfg, n_channels, block_samples)
+        self.state = self.engine.init_state()
+        self.n_channels = n_channels
+        self.block_samples = block_samples
+        self.overlap = self.engine.overlap
+        self.abs_block_start = 0  # absolute sample index of next block
+        self._code_tables = np.zeros(
+            (n_channels, cfg.code_length_chips * cfg.code_samples_per_chip),
+            dtype=np.float32)
+        self._code_tables_dev = jnp.asarray(self._code_tables)
+        self.prn = [0] * n_channels
+        self.acc_carrier_phase_rad = np.zeros(n_channels, dtype=np.float64)
+
+    # -- channel management ------------------------------------------------
+    def start_channel(
+        self, ch: int, prn: int, code_table: np.ndarray,
+        acq_delay_samples: float, acq_doppler_hz: float,
+        acq_samplestamp: int,
+    ) -> None:
+        """Assign a satellite to channel ``ch`` after positive acquisition.
+
+        Pull-in alignment (the reference's tracking state 1): skip to the
+        first code-period boundary at or after the next block start.
+        ``acq_delay_samples`` is the code phase at ``acq_samplestamp``.
+        """
+        cfg = self.cfg
+        t_prn_samples = cfg.fs * cfg.code_length_chips / cfg.chip_rate_cps
+        # delta between the stream position where tracking resumes and the
+        # acquisition-reported PRN start
+        delta = (self.abs_block_start - acq_samplestamp) - acq_delay_samples
+        acq_code_phase = t_prn_samples - math.fmod(delta, t_prn_samples)
+        if acq_code_phase >= t_prn_samples:
+            acq_code_phase -= t_prn_samples
+        offset = int(round(acq_code_phase))
+        self._code_tables[ch] = code_table.astype(np.float32)
+        self._code_tables_dev = jnp.asarray(self._code_tables)
+        self.state = self.engine.start_channel(
+            self.state, ch, acq_doppler_hz, offset,
+            int(round(t_prn_samples)),
+        )
+        self.prn[ch] = prn
+        self.acc_carrier_phase_rad[ch] = 0.0
+
+    def stop_channel(self, ch: int) -> None:
+        self.state = self.engine.stop_channel(self.state, ch)
+        self.prn[ch] = 0
+
+    @property
+    def active_mask(self) -> np.ndarray:
+        return np.asarray(self.state.active)
+
+    # -- streaming ---------------------------------------------------------
+    def process_block(self, block: np.ndarray) -> list[list[PeriodOutput]]:
+        """Track one block (block_samples + overlap input samples).
+
+        Returns per-channel lists of period outputs in time order, with
+        absolute sample stamps.
+        """
+        block_start = self.abs_block_start
+        self.state, out = self.engine.process_block(
+            self.state, jnp.asarray(block, dtype=jnp.complex64),
+            self._code_tables_dev)
+        self.abs_block_start += self.block_samples
+
+        out = {k: np.asarray(v) for k, v in out.items()}
+        results: list[list[PeriodOutput]] = [[] for _ in range(self.n_channels)]
+        n_steps = out["valid"].shape[0]
+        for step in range(n_steps):
+            valid = out["valid"][step]
+            for ch in np.nonzero(valid)[0]:
+                self.acc_carrier_phase_rad[ch] -= float(
+                    out["carr_phase_incr_rad"][step, ch])
+                results[ch].append(PeriodOutput(
+                    channel=int(ch),
+                    prn=self.prn[ch],
+                    sample_start=block_start + int(out["start_offset"][step, ch]),
+                    length=int(out["length"][step, ch]),
+                    rem_code_phase_samples=float(
+                        out["rem_code_phase_samples"][step, ch]),
+                    prompt=complex(out["prompt"][step, ch]),
+                    corr=out["corr"][step, ch],
+                    carrier_doppler_hz=float(
+                        out["carrier_doppler_hz"][step, ch]),
+                    code_freq_chips=float(out["code_freq_chips"][step, ch]),
+                    acc_carrier_phase_rad=float(
+                        self.acc_carrier_phase_rad[ch]),
+                    cn0_db_hz=float(out["cn0_db_hz"][step, ch]),
+                    carrier_lock_test=float(out["carrier_lock_test"][step, ch]),
+                    evm=float(out["evm"][step, ch]),
+                    loss_of_lock=bool(out["loss_of_lock"][step, ch]),
+                ))
+        return results

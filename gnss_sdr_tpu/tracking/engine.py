@@ -1,0 +1,457 @@
+"""Multi-channel DLL/PLL/FLL tracking engine.
+
+TPU-native redesign of the reference's universal tracking block
+(/root/reference/src/algorithms/tracking/gnuradio_blocks/
+dll_pll_veml_tracking.cc). The reference runs one GNU Radio thread per
+channel, each consuming a dynamic number of samples per PRN period
+(general_work, :1784-2152). Here:
+
+- All channels advance in lockstep through a ``lax.scan`` over PRN periods
+  within a fixed sample block; per-channel dynamic period lengths are
+  handled with a static max length + valid-prefix masking, and the
+  fractional remainder phase is carried exactly like the reference's
+  remnant-phase scheme (update_tracking_vars, :1216-1288).
+- Each scan step is the per-period pipeline: multicorrelator
+  (do_correlation_step, :1064), discriminators + loop filters
+  (run_dll_pll, :1092), NCO/length update (update_tracking_vars, :1216),
+  C/N0 + lock watchdogs (cn0_and_tracking_lock_status, :970) including the
+  fork's EVM indicator (:1030-1056).
+- Channels whose next period starts beyond the block's main region idle
+  (masked) and resume in the next overlapped block — replacing GNU Radio's
+  ring-buffer backpressure with overlap-save block streaming.
+
+Absolute sample/phase accounting (64-bit) stays on the host
+(:class:`TrackingChannels` in channels.py); the device carries only
+block-relative offsets and per-period increments in float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sdr_tpu.ops import discriminators as disc
+from gnss_sdr_tpu.ops import lock_detectors as lockdet
+from gnss_sdr_tpu.ops import loop_filters as lf
+from gnss_sdr_tpu.ops.correlator import multicorrelate
+
+TWO_PI = 2.0 * math.pi
+
+
+@dataclasses.dataclass
+class TrackingConfig:
+    """Tracking knobs + per-signal constants.
+
+    Field-for-field analogue of ``Dll_Pll_Conf``
+    (/root/reference/src/algorithms/tracking/libs/dll_pll_conf.h:40-83)
+    plus the signal constants the reference engine pulls from its ctor.
+    Defaults mirror the reference's (header initializers and gflags
+    defaults, gnss_sdr_flags.cc:45-54).
+    """
+
+    fs: float = 2_000_000.0
+    # signal constants
+    code_length_chips: int = 1023
+    chip_rate_cps: float = 1.023e6
+    carrier_hz: float = 1575.42e6
+    code_samples_per_chip: int = 1
+    symbols_per_bit: int = 20
+    # loop configuration
+    pll_bw_hz: float = 35.0
+    dll_bw_hz: float = 2.0
+    fll_bw_hz: float = 35.0
+    pll_filter_order: int = 3
+    dll_filter_order: int = 2
+    enable_fll_pull_in: bool = False
+    enable_fll_steady_state: bool = False
+    pull_in_time_s: float = 10.0
+    early_late_space_chips: float = 0.25
+    very_early_late_space_chips: float = 0.5
+    veml: bool = False
+    slope: float = 1.0
+    spc: float = 0.5
+    y_intercept: float = 1.0
+    carrier_aiding: bool = True
+    extend_correlation_symbols: int = 1
+    # lock detection
+    cn0_samples: int = 20
+    cn0_min: float = 25.0
+    max_code_lock_fail: int = 50
+    max_carrier_lock_fail: int = 5000
+    carrier_lock_th: float = 0.7
+    cn0_smoother_alpha: float = 0.002
+    carrier_lock_test_smoother_alpha: float = 0.002
+
+    @property
+    def samples_per_code(self) -> int:
+        return int(round(self.fs * self.code_length_chips / self.chip_rate_cps))
+
+    @property
+    def code_period_s(self) -> float:
+        return self.code_length_chips / self.chip_rate_cps
+
+    @property
+    def n_taps(self) -> int:
+        return 5 if self.veml else 3
+
+    def tap_shifts(self) -> np.ndarray:
+        """Correlator tap shifts in code-table units, VE..VL order
+        (dll_pll_veml_tracking.cc ctor, d_local_code_shift_chips)."""
+        spc = self.early_late_space_chips * self.code_samples_per_chip
+        if self.veml:
+            vspc = self.very_early_late_space_chips * self.code_samples_per_chip
+            return np.array([-vspc, -spc, 0.0, spc, vspc], dtype=np.float32)
+        return np.array([-spc, 0.0, spc], dtype=np.float32)
+
+
+class TrackState(NamedTuple):
+    """Per-channel tracking carry; every field has leading dim [C]."""
+
+    active: jax.Array              # bool: channel assigned and tracking
+    offset: jax.Array              # int32: block-relative next period start
+    cur_len: jax.Array             # int32: current period length [samples]
+    rem_code_phase_samples: jax.Array  # f32
+    rem_code_phase_chips: jax.Array    # f32 (code-table units)
+    rem_carr_phase_rad: jax.Array      # f32
+    carrier_doppler_hz: jax.Array      # f32
+    code_freq_chips: jax.Array         # f32
+    carrier_phase_step_rad: jax.Array  # f32
+    code_phase_step_chips: jax.Array   # f32 (code-table units per sample)
+    carr_w: jax.Array              # f32: FLL/PLL filter state
+    carr_x: jax.Array              # f32
+    code_x_hist: jax.Array         # f32 [C, 4]
+    code_y_hist: jax.Array         # f32 [C, 3]
+    p_old: jax.Array               # complex64: previous prompt (FLL memory)
+    prompt_buf: jax.Array          # complex64 [C, cn0_samples], newest first
+    prompt_count: jax.Array        # int32 (capped)
+    cn0_db_hz: jax.Array           # f32 (smoothed)
+    carrier_lock_test: jax.Array   # f32 (smoothed)
+    evm: jax.Array                 # f32 (fork indicator)
+    code_lock_fail: jax.Array      # int32
+    carrier_lock_fail: jax.Array   # int32
+    loss_of_lock: jax.Array        # bool
+    step_count: jax.Array          # int32: periods since channel start
+
+
+class TrackingEngine:
+    """Builds and jit-compiles the per-block tracking program.
+
+    ``block_samples`` is the stream advance per call; input blocks carry
+    ``overlap`` extra trailing samples (>= max period length) so a period
+    straddling the block edge is fully contained.
+    """
+
+    def __init__(self, cfg: TrackingConfig, n_channels: int, block_samples: int):
+        self.cfg = cfg
+        self.n_channels = n_channels
+        self.block_samples = int(block_samples)
+        spc = cfg.samples_per_code
+        # margin absorbs Doppler-induced length changes (<< 16 samples) and
+        # the +-1 rounding of K_blk_samples
+        self.max_period = spc + 16
+        self.overlap = self.max_period
+        self.n_steps = self.block_samples // max(1, spc - 16) + 1
+
+        self._shifts = jnp.asarray(cfg.tap_shifts())
+        self._gains = lf.FllPllGains.make(
+            cfg.fll_bw_hz, cfg.pll_bw_hz, cfg.pll_filter_order
+        )
+        ic, oc = lf.loop_filter_coefficients(
+            cfg.code_period_s * cfg.extend_correlation_symbols,
+            cfg.dll_bw_hz, cfg.dll_filter_order, include_last_integrator=False,
+        )
+        self._dll_ic = jnp.asarray(ic)
+        self._dll_oc = jnp.asarray(oc)
+        self._pull_in_steps = int(
+            cfg.pull_in_time_s / (cfg.code_period_s
+                                  * cfg.extend_correlation_symbols)
+        )
+        self._block_step = jax.jit(self._build_block_step(), donate_argnums=(0,))
+
+    # -- state construction ------------------------------------------------
+    def init_state(self) -> TrackState:
+        c = self.n_channels
+        f32 = functools.partial(jnp.zeros, (c,), dtype=jnp.float32)
+        i32 = functools.partial(jnp.zeros, (c,), dtype=jnp.int32)
+        return TrackState(
+            active=jnp.zeros((c,), dtype=bool),
+            offset=i32(), cur_len=jnp.full((c,), self.cfg.samples_per_code,
+                                           dtype=jnp.int32),
+            rem_code_phase_samples=f32(), rem_code_phase_chips=f32(),
+            rem_carr_phase_rad=f32(), carrier_doppler_hz=f32(),
+            code_freq_chips=jnp.full((c,), self.cfg.chip_rate_cps,
+                                     dtype=jnp.float32),
+            carrier_phase_step_rad=f32(),
+            code_phase_step_chips=jnp.full(
+                (c,), self.cfg.chip_rate_cps / self.cfg.fs
+                * self.cfg.code_samples_per_chip, dtype=jnp.float32),
+            carr_w=f32(), carr_x=f32(),
+            code_x_hist=jnp.zeros((c, lf.HISTORY), dtype=jnp.float32),
+            code_y_hist=jnp.zeros((c, lf.HISTORY - 1), dtype=jnp.float32),
+            p_old=jnp.zeros((c,), dtype=jnp.complex64),
+            prompt_buf=jnp.zeros((c, self.cfg.cn0_samples),
+                                 dtype=jnp.complex64),
+            prompt_count=i32(), cn0_db_hz=f32(), carrier_lock_test=f32(),
+            evm=f32(), code_lock_fail=i32(), carrier_lock_fail=i32(),
+            loss_of_lock=jnp.zeros((c,), dtype=bool), step_count=i32(),
+        )
+
+    def start_channel(
+        self, state: TrackState, ch: int, doppler_hz: float,
+        offset_samples: int, cur_len: int,
+    ) -> TrackState:
+        """Functional per-channel (re)start after acquisition handoff.
+
+        Mirrors start_tracking + the state-1 pull-in initialization
+        (dll_pll_veml_tracking.cc:1813-1844): Doppler from acquisition,
+        nominal code frequency, zero remnant phases, loop filters
+        initialized from the acquisition Doppler.
+        """
+        cfg = self.cfg
+        doppler = jnp.float32(doppler_hz)
+        if self._gains.order == 3:
+            w0, x0 = jnp.float32(0.0), jnp.float32(2.0 * doppler_hz)
+        else:
+            w0, x0 = doppler, jnp.float32(0.0)
+        cspc = cfg.code_samples_per_chip
+        return state._replace(
+            active=state.active.at[ch].set(True),
+            offset=state.offset.at[ch].set(int(offset_samples)),
+            cur_len=state.cur_len.at[ch].set(int(cur_len)),
+            rem_code_phase_samples=state.rem_code_phase_samples.at[ch].set(0.0),
+            rem_code_phase_chips=state.rem_code_phase_chips.at[ch].set(0.0),
+            rem_carr_phase_rad=state.rem_carr_phase_rad.at[ch].set(0.0),
+            carrier_doppler_hz=state.carrier_doppler_hz.at[ch].set(doppler),
+            code_freq_chips=state.code_freq_chips.at[ch].set(cfg.chip_rate_cps),
+            carrier_phase_step_rad=state.carrier_phase_step_rad.at[ch].set(
+                TWO_PI * doppler_hz / cfg.fs),
+            code_phase_step_chips=state.code_phase_step_chips.at[ch].set(
+                cfg.chip_rate_cps / cfg.fs * cspc),
+            carr_w=state.carr_w.at[ch].set(w0),
+            carr_x=state.carr_x.at[ch].set(x0),
+            code_x_hist=state.code_x_hist.at[ch].set(0.0),
+            code_y_hist=state.code_y_hist.at[ch].set(0.0),
+            p_old=state.p_old.at[ch].set(0.0 + 0.0j),
+            prompt_buf=state.prompt_buf.at[ch].set(0.0 + 0.0j),
+            prompt_count=state.prompt_count.at[ch].set(0),
+            cn0_db_hz=state.cn0_db_hz.at[ch].set(0.0),
+            carrier_lock_test=state.carrier_lock_test.at[ch].set(0.0),
+            evm=state.evm.at[ch].set(0.0),
+            code_lock_fail=state.code_lock_fail.at[ch].set(0),
+            carrier_lock_fail=state.carrier_lock_fail.at[ch].set(0),
+            loss_of_lock=state.loss_of_lock.at[ch].set(False),
+            step_count=state.step_count.at[ch].set(0),
+        )
+
+    def stop_channel(self, state: TrackState, ch: int) -> TrackState:
+        return state._replace(active=state.active.at[ch].set(False))
+
+    # -- device program ----------------------------------------------------
+    def _build_block_step(self):
+        cfg = self.cfg
+        fs = jnp.float32(cfg.fs)
+        chip_rate = jnp.float32(cfg.chip_rate_cps)
+        code_len_chips = jnp.float32(cfg.code_length_chips)
+        cspc = jnp.float32(cfg.code_samples_per_chip)
+        carrier_hz = jnp.float32(cfg.carrier_hz)
+        t_nominal = jnp.float32(cfg.code_period_s
+                                * cfg.extend_correlation_symbols)
+        shifts = self._shifts
+        gains = self._gains
+        dll_ic, dll_oc = self._dll_ic, self._dll_oc
+        block_samples = self.block_samples
+        total = self.block_samples + self.overlap
+        max_period = self.max_period
+        n_steps = self.n_steps
+        prompt_tap = cfg.n_taps // 2
+        pull_in_steps = self._pull_in_steps
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        def scan_body(carry, _, block, code_tables):
+            s: TrackState = carry
+            process = s.active & (s.offset < block_samples) & (~s.loss_of_lock)
+
+            start = jnp.clip(s.offset, 0, total - max_period)
+            x = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(block, (o,), (max_period,))
+            )(start)
+
+            corr = multicorrelate(
+                x, code_tables, shifts,
+                s.rem_code_phase_chips, s.code_phase_step_chips,
+                s.rem_carr_phase_rad, s.carrier_phase_step_rad,
+                s.cur_len,
+            )  # [C, T]
+            prompt = corr[:, prompt_tap]
+
+            # ---- run_dll_pll (dll_pll_veml_tracking.cc:1092-1213) -------
+            pll_disc_hz = disc.pll_cloop_two_quadrant_atan(prompt) / TWO_PI
+            fll_disc_hz = disc.fll_diff_atan(
+                s.p_old, prompt, 0.0, t_nominal) / TWO_PI
+            pull_in = s.step_count < pull_in_steps
+            if cfg.enable_fll_pull_in or cfg.enable_fll_steady_state:
+                use_fll = (pull_in & cfg.enable_fll_pull_in) \
+                    | cfg.enable_fll_steady_state
+                fll_eff = jnp.where(use_fll, fll_disc_hz, 0.0)
+                # pure FLL during pull-in (PLL disabled)
+                pll_eff = jnp.where(pull_in & cfg.enable_fll_pull_in,
+                                    0.0, pll_disc_hz)
+            else:
+                fll_eff = jnp.zeros_like(fll_disc_hz)
+                pll_eff = pll_disc_hz
+            (carr_w, carr_x), carr_err_hz = lf.fll_pll_step(
+                (s.carr_w, s.carr_x), fll_eff, pll_eff, t_nominal, gains
+            )
+            carrier_doppler = carr_err_hz
+
+            if cfg.veml:
+                dll_disc = disc.dll_nc_vemlp_normalized(
+                    corr[:, 0], corr[:, 1], corr[:, 3], corr[:, 4])
+            else:
+                dll_disc = disc.dll_nc_e_minus_l_normalized(
+                    corr[:, 0], corr[:, 2], cfg.spc, cfg.slope,
+                    cfg.y_intercept)
+            (code_x_hist, code_y_hist), code_err_filt = lf.iir_step(
+                (s.code_x_hist, s.code_y_hist), dll_disc, dll_ic, dll_oc
+            )
+            code_freq = chip_rate - code_err_filt
+            if cfg.carrier_aiding:
+                code_freq = code_freq + carrier_doppler * chip_rate / carrier_hz
+
+            # ---- update_tracking_vars (:1216-1288) ----------------------
+            t_prn_samples = code_len_chips / (code_freq / fs)
+            k_blk = t_prn_samples + s.rem_code_phase_samples
+            next_len = jnp.floor(k_blk).astype(jnp.int32)
+            rem_code_samples = k_blk - next_len.astype(jnp.float32)
+            carr_step = jnp.float32(TWO_PI) * carrier_doppler / fs
+            carr_incr = carr_step * next_len.astype(jnp.float32)
+            rem_carr = jnp.mod(s.rem_carr_phase_rad + carr_incr,
+                               jnp.float32(TWO_PI))
+            code_step = code_freq / fs * cspc
+            rem_code_chips = code_freq * rem_code_samples / fs * cspc
+
+            # ---- cn0_and_tracking_lock_status (:970-1062) ---------------
+            prompt_buf = jnp.concatenate(
+                [prompt[:, None], s.prompt_buf[:, :-1]], axis=1)
+            count_pre = s.prompt_count
+            have_cn0 = count_pre >= cfg.cn0_samples
+            first_cn0 = count_pre == cfg.cn0_samples
+            prompt_count = jnp.minimum(count_pre + 1, cfg.cn0_samples + 1)
+
+            cn0_raw = lockdet.cn0_m2m4_estimator(prompt_buf, t_nominal)
+            a = jnp.float32(cfg.cn0_smoother_alpha)
+            cn0_s = jnp.where(
+                have_cn0,
+                jnp.where(first_cn0, cn0_raw,
+                          a * cn0_raw + (1 - a) * s.cn0_db_hz),
+                s.cn0_db_hz)
+            lock_raw = lockdet.carrier_lock_detector(prompt[:, None])
+            al = jnp.float32(cfg.carrier_lock_test_smoother_alpha)
+            lock_s = jnp.where(
+                have_cn0,
+                jnp.where(first_cn0, lock_raw,
+                          al * lock_raw + (1 - al) * s.carrier_lock_test),
+                s.carrier_lock_test)
+
+            count_locks = have_cn0 & (~pull_in)
+            carrier_fail = jnp.where(
+                count_locks & (lock_s < cfg.carrier_lock_th),
+                s.carrier_lock_fail + 1,
+                jnp.maximum(s.carrier_lock_fail - count_locks.astype(jnp.int32), 0))
+            code_fail = jnp.where(
+                count_locks & (cn0_s < cfg.cn0_min),
+                s.code_lock_fail + 1,
+                jnp.maximum(s.code_lock_fail - count_locks.astype(jnp.int32), 0))
+            loss = (carrier_fail > cfg.max_carrier_lock_fail) \
+                | (code_fail > cfg.max_code_lock_fail)
+            carrier_fail = jnp.where(loss, 0, carrier_fail)
+            code_fail = jnp.where(loss, 0, code_fail)
+
+            # fork EVM indicator (:1030-1056)
+            d = jnp.sqrt(jnp.mean(prompt_buf.real**2, axis=1))
+            d = jnp.maximum(d, tiny)
+            evm_raw = jnp.sqrt(jnp.mean(
+                (jnp.abs(prompt_buf.real / d[:, None]) - 1.0) ** 2
+                + (prompt_buf.imag / d[:, None]) ** 2, axis=1))
+            evm = jnp.where(have_cn0, evm_raw, s.evm)
+
+            new = TrackState(
+                active=s.active,
+                offset=s.offset + s.cur_len,
+                cur_len=next_len,
+                rem_code_phase_samples=rem_code_samples,
+                rem_code_phase_chips=rem_code_chips,
+                rem_carr_phase_rad=rem_carr,
+                carrier_doppler_hz=carrier_doppler,
+                code_freq_chips=code_freq,
+                carrier_phase_step_rad=carr_step,
+                code_phase_step_chips=code_step,
+                carr_w=carr_w, carr_x=carr_x,
+                code_x_hist=code_x_hist, code_y_hist=code_y_hist,
+                p_old=prompt,
+                prompt_buf=prompt_buf, prompt_count=prompt_count,
+                cn0_db_hz=cn0_s, carrier_lock_test=lock_s, evm=evm,
+                code_lock_fail=code_fail, carrier_lock_fail=carrier_fail,
+                loss_of_lock=s.loss_of_lock | (loss & s.active),
+                step_count=s.step_count + 1,
+            )
+
+            def sel(a_new, a_old):
+                mask = process
+                extra = a_new.ndim - mask.ndim
+                if extra:
+                    mask = mask.reshape(mask.shape + (1,) * extra)
+                return jnp.where(mask, a_new, a_old)
+
+            merged = TrackState(*(sel(n_f, o_f) for n_f, o_f in zip(new, s)))
+
+            outputs = dict(
+                valid=process,
+                start_offset=s.offset,
+                length=s.cur_len,
+                corr=corr,
+                prompt=prompt,
+                carrier_doppler_hz=jnp.where(process, carrier_doppler,
+                                             s.carrier_doppler_hz),
+                code_freq_chips=jnp.where(process, code_freq,
+                                          s.code_freq_chips),
+                rem_code_phase_samples=s.rem_code_phase_samples,
+                carr_phase_incr_rad=jnp.where(process, carr_incr, 0.0),
+                cn0_db_hz=jnp.where(process, cn0_s, s.cn0_db_hz),
+                carrier_lock_test=jnp.where(process, lock_s,
+                                            s.carrier_lock_test),
+                evm=jnp.where(process, evm, s.evm),
+                loss_of_lock=merged.loss_of_lock,
+            )
+            return merged, outputs
+
+        def block_step(state: TrackState, block, code_tables):
+            body = functools.partial(
+                scan_body, block=block, code_tables=code_tables)
+            state, outputs = jax.lax.scan(
+                lambda c, xs: body(c, xs), state, None, length=n_steps)
+            # rebase offsets for the next block (stream advances by
+            # block_samples; the overlap region repeats)
+            state = state._replace(
+                offset=jnp.where(state.active,
+                                 state.offset - block_samples, state.offset))
+            return state, outputs
+
+        return block_step
+
+    def process_block(
+        self, state: TrackState, block: jax.Array, code_tables: jax.Array
+    ):
+        """Run one block; returns (new_state, outputs dict of [S, C] arrays)."""
+        if block.shape[0] != self.block_samples + self.overlap:
+            raise ValueError(
+                f"block must have {self.block_samples + self.overlap} samples "
+                f"(block_samples + overlap), got {block.shape[0]}"
+            )
+        return self._block_step(state, block, code_tables)
