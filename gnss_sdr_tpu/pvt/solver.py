@@ -1,0 +1,173 @@
+"""Single-point least-squares PVT solver.
+
+Functional equivalent of the reference's single-point path: pntpos ->
+estpos -> rescode iteration (/root/reference/src/algorithms/libs/rtklib/
+rtklib_pntpos.cc:1073 and :490-700): iterative linearized least squares on
+pseudoranges with satellite clock, earth-rotation (Sagnac), troposphere and
+ionosphere corrections, plus DOP extraction. Velocity solving from
+Doppler mirrors estvel/resdop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from gnss_sdr_tpu.constants.general import OMEGA_EARTH_DOT, SPEED_OF_LIGHT_M_S
+from gnss_sdr_tpu.pvt import atmosphere, geodesy
+from gnss_sdr_tpu.pvt.ephemeris import GpsEphemeris
+
+C = SPEED_OF_LIGHT_M_S
+
+
+@dataclasses.dataclass
+class Observation:
+    """One channel's measurement at a common reception epoch."""
+
+    prn: int
+    pseudorange_m: float
+    eph: GpsEphemeris
+    doppler_hz: float | None = None
+    carrier_hz: float = 1575.42e6
+    cn0_db_hz: float = 45.0
+
+
+@dataclasses.dataclass
+class PvtSolution:
+    valid: bool
+    pos_ecef: np.ndarray          # [3] m
+    clock_bias_s: float
+    vel_ecef: np.ndarray | None   # [3] m/s
+    clock_drift_s_s: float | None
+    gdop: float
+    pdop: float
+    hdop: float
+    vdop: float
+    n_sats: int
+    residuals_m: np.ndarray
+    lat_rad: float = 0.0
+    lon_rad: float = 0.0
+    height_m: float = 0.0
+
+
+def _sagnac_rotate(sat_pos: np.ndarray, tau: float) -> np.ndarray:
+    """Rotate satellite position into the reception-time ECEF frame
+    (earth rotation during signal flight; rtklib geodist)."""
+    theta = OMEGA_EARTH_DOT * tau
+    c, s = math.cos(theta), math.sin(theta)
+    rot = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+    return rot @ sat_pos
+
+
+def solve_pvt(
+    obs: list[Observation],
+    t_rx_tow_s: float,
+    x0: np.ndarray | None = None,
+    iono_alpha: tuple | None = None,
+    iono_beta: tuple | None = None,
+    apply_tropo: bool = True,
+    max_iter: int = 10,
+    elevation_mask_rad: float = 0.0,
+) -> PvtSolution:
+    """Iterative LS position + clock from pseudoranges at RX TOW [s]."""
+    n = len(obs)
+    invalid = PvtSolution(
+        valid=False, pos_ecef=np.zeros(3), clock_bias_s=0.0, vel_ecef=None,
+        clock_drift_s_s=None, gdop=0.0, pdop=0.0, hdop=0.0, vdop=0.0,
+        n_sats=n, residuals_m=np.zeros(0),
+    )
+    if n < 4:
+        return invalid
+
+    x = np.zeros(4) if x0 is None else np.concatenate(
+        [np.asarray(x0, dtype=float), [0.0]])
+
+    sat_pos = np.zeros((n, 3))
+    sat_clk = np.zeros(n)
+    h = np.zeros((n, 4))
+    resid = np.zeros(n)
+
+    for it in range(max_iter):
+        use_atmo = np.linalg.norm(x[:3]) > 1e6  # need a rough position first
+        if use_atmo:
+            lat, lon, hgt = geodesy.ecef_to_geodetic(x[:3])
+        for i, o in enumerate(obs):
+            # transmission time from pseudorange, then iterate sat clock
+            t_tx = t_rx_tow_s - o.pseudorange_m / C
+            dts = o.eph.clock_bias_s(t_tx)
+            t_tx -= dts
+            dts = o.eph.clock_bias_s(t_tx) - o.eph.tgd_s  # L1 TGD applies
+            pos = np.array(o.eph.sat_pos(t_tx))
+            tau = max(o.pseudorange_m / C, 1e-3)
+            pos = _sagnac_rotate(pos, tau)
+            sat_pos[i] = pos
+            sat_clk[i] = dts
+
+            rho = np.linalg.norm(pos - x[:3])
+            los = (pos - x[:3]) / max(rho, 1.0)
+            h[i, :3] = -los
+            h[i, 3] = 1.0
+
+            corr = 0.0
+            if use_atmo:
+                az, el = geodesy.azimuth_elevation(x[:3], pos)
+                if apply_tropo:
+                    corr += atmosphere.saastamoinen_delay(lat, hgt, el)
+                if iono_alpha is not None and iono_beta is not None:
+                    corr += atmosphere.klobuchar_delay(
+                        t_rx_tow_s, lat, lon, az, el, iono_alpha, iono_beta)
+            resid[i] = o.pseudorange_m - (rho + x[3] - C * dts + corr)
+
+        dx, *_ = np.linalg.lstsq(h, resid, rcond=None)
+        x += dx
+        if np.linalg.norm(dx) < 1e-4:
+            break
+
+    # final residuals and DOP
+    try:
+        q = np.linalg.inv(h.T @ h)
+    except np.linalg.LinAlgError:
+        return invalid
+    gdop = math.sqrt(max(np.trace(q), 0.0))
+    pdop = math.sqrt(max(q[0, 0] + q[1, 1] + q[2, 2], 0.0))
+    lat, lon, hgt = geodesy.ecef_to_geodetic(x[:3])
+    e_mat = geodesy.enu_matrix(lat, lon)
+    q_enu = e_mat @ q[:3, :3] @ e_mat.T
+    hdop = math.sqrt(max(q_enu[0, 0] + q_enu[1, 1], 0.0))
+    vdop = math.sqrt(max(q_enu[2, 2], 0.0))
+
+    # velocity from Doppler (rtklib estvel/resdop)
+    vel = None
+    drift = None
+    dopplers = [o.doppler_hz for o in obs]
+    if all(d is not None for d in dopplers):
+        hv = np.zeros((n, 4))
+        rv = np.zeros(n)
+        for i, o in enumerate(obs):
+            sat_vel = np.array(o.eph.sat_vel(
+                t_rx_tow_s - o.pseudorange_m / C))
+            rho_vec = sat_pos[i] - x[:3]
+            rho = np.linalg.norm(rho_vec)
+            los = rho_vec / rho
+            lam = C / o.carrier_hz
+            # positive Doppler = closing range in our convention
+            range_rate = -lam * o.doppler_hz
+            # Sagnac rate correction (rtklib resdop)
+            range_rate += OMEGA_EARTH_DOT / C * (
+                sat_vel[1] * x[0] + sat_pos[i][1] * 0.0
+                - sat_vel[0] * x[1] - sat_pos[i][0] * 0.0)
+            hv[i, :3] = -los
+            hv[i, 3] = 1.0
+            rv[i] = range_rate - np.dot(los, sat_vel)
+        sol, *_ = np.linalg.lstsq(hv, rv, rcond=None)
+        vel = sol[:3]
+        drift = sol[3] / C
+
+    return PvtSolution(
+        valid=True, pos_ecef=x[:3].copy(), clock_bias_s=x[3] / C,
+        vel_ecef=vel, clock_drift_s_s=drift,
+        gdop=gdop, pdop=pdop, hdop=hdop, vdop=vdop, n_sats=n,
+        residuals_m=resid.copy(), lat_rad=lat, lon_rad=lon, height_m=hgt,
+    )

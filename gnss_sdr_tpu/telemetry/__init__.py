@@ -1,0 +1,15 @@
+"""Telemetry decoders (reference layer L4 telemetry_decoder + L6 parsers).
+
+Nav-message decoding is branchy bit logic at ~50 bit/s per channel —
+negligible compute — so it runs host-side in NumPy while symbol integration
+stays on device (SURVEY.md section 7 "hard parts").
+"""
+
+from gnss_sdr_tpu.telemetry.gps_lnav import (
+    GpsLnavDecoder,
+    check_word,
+    encode_word,
+    parse_subframe,
+)
+
+__all__ = ["GpsLnavDecoder", "check_word", "encode_word", "parse_subframe"]

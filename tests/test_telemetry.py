@@ -1,0 +1,110 @@
+"""LNAV encode/decode tests: parity, subframe parse, streaming sync, TOW."""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.pvt.ephemeris import GpsEphemeris
+from gnss_sdr_tpu.simulate.lnav import build_lnav_bits
+from gnss_sdr_tpu.telemetry.gps_lnav import (
+    GpsLnavDecoder,
+    check_subframe,
+    check_word,
+    compute_parity,
+    encode_word,
+)
+
+
+def ref_ephemeris() -> GpsEphemeris:
+    """Realistic-magnitude ephemeris exercising signed fields."""
+    return GpsEphemeris(
+        prn=17, week_number=310, sv_health=0, iodc=345, iode=89,
+        toc_s=7200.0, af0=-3.2e-4, af1=2.5e-11, af2=0.0, tgd_s=-4.6e-9,
+        toe_s=7200.0, sqrt_a=5153.68, ecc=0.0123,
+        m0_rad=-1.234, delta_n_rad_s=4.5e-9,
+        omega0_rad=2.345, i0_rad=0.958, omega_rad=-2.91,
+        omega_dot_rad_s=-8.1e-9, idot_rad_s=3.9e-10,
+        cuc_rad=1.2e-6, cus_rad=8.5e-6, crc_m=212.4, crs_m=-54.1,
+        cic_rad=-7.4e-8, cis_rad=5.6e-8,
+    )
+
+
+def test_parity_roundtrip_and_error_detection():
+    rng = np.random.default_rng(0)
+    d29s, d30s = 0, 0
+    for _ in range(50):
+        source = rng.integers(0, 2, 24)
+        word = encode_word(source, d29s, d30s)
+        ok, decoded = check_word(word, d29s, d30s)
+        assert ok
+        assert np.array_equal(decoded, source)
+        # flip any single bit -> parity failure
+        flip = rng.integers(0, 30)
+        bad = word.copy()
+        bad[flip] ^= 1
+        assert not check_word(bad, d29s, d30s)[0]
+        d29s, d30s = int(word[28]), int(word[29])
+
+
+def test_lnav_stream_roundtrip():
+    eph = ref_ephemeris()
+    bits = build_lnav_bits(eph, start_tow_6s=17000, n_subframes=5)
+    assert bits.shape == (1500,)
+    hard = (bits > 0).astype(np.int64)
+    d29s = d30s = 0
+    fields = {}
+    for k in range(5):
+        sf = hard[k * 300:(k + 1) * 300]
+        ok, sources = check_subframe(sf, d29s, d30s)
+        assert ok, f"subframe {k} parity"
+        d29s, d30s = int(sf[-2]), int(sf[-1])
+        from gnss_sdr_tpu.telemetry.gps_lnav import parse_subframe
+        f = parse_subframe(sources)
+        assert f["tow_truncated"] == 17000 + k + 1
+        assert f["subframe_id"] == k + 1
+        fields.update(f)
+    eph2 = GpsEphemeris.from_fields(17, fields)
+    # quantization-limited roundtrip
+    assert eph2.week_number == eph.week_number % 1024
+    assert eph2.iodc == eph.iodc and eph2.iode == eph.iode
+    assert abs(eph2.af0 - eph.af0) < 2.0**-30
+    assert abs(eph2.sqrt_a - eph.sqrt_a) < 2.0**-18
+    assert abs(eph2.ecc - eph.ecc) < 2.0**-32
+    assert abs(eph2.m0_rad - eph.m0_rad) < 2.0**-30 * np.pi
+    assert abs(eph2.omega_dot_rad_s - eph.omega_dot_rad_s) < 2.0**-42 * np.pi
+    assert abs(eph2.crc_m - eph.crc_m) < 2.0**-4
+    # orbit positions agree to meters after quantization
+    p1 = np.array(eph.sat_pos(7500.0))
+    p2 = np.array(eph2.sat_pos(7500.0))
+    assert np.linalg.norm(p1 - p2) < 5.0
+
+
+@pytest.mark.parametrize("invert,offset", [(False, 0), (True, 7), (False, 133)])
+def test_streaming_decoder_sync(invert, offset):
+    eph = ref_ephemeris()
+    bits = build_lnav_bits(eph, start_tow_6s=5000, n_subframes=6)
+    symbols = np.repeat(bits, 20)  # 20 symbols (code periods) per bit
+    rng = np.random.default_rng(2)
+    soft = symbols * 4000.0 + rng.normal(0, 400.0, symbols.shape)
+    if invert:
+        soft = -soft
+    soft = soft[offset:]
+    dec = GpsLnavDecoder()
+    updates = []
+    for i, s in enumerate(soft):
+        upd = dec.feed(s, sample_stamp=1000 * i)
+        if upd:
+            updates.append((i, upd))
+    # the first decodable subframe is #1 if offset==0 else #2
+    assert len(updates) >= 3
+    first_idx, first = updates[0]
+    k0 = 0 if offset == 0 else 1
+    assert first.subframe_id == k0 + 1
+    assert first.tow_ms == (5000 + k0 + 1) * 6000
+    # TOW propagation ground truth: the stream starts at the subframe-0
+    # boundary (TOW 5000*6 s) plus `offset` discarded symbols, so the end
+    # of the last fed symbol is at 30,000,000 + offset + len(soft) ms.
+    assert dec.tow_at_last_symbol_ms is not None
+    assert dec.tow_at_last_symbol_ms == 5000 * 6000 + offset + len(soft)
+    assert dec.has_full_ephemeris()
+    eph2 = GpsEphemeris.from_fields(17, dec.ephemeris_fields)
+    assert abs(eph2.sqrt_a - eph.sqrt_a) < 2.0**-18
