@@ -1,0 +1,101 @@
+"""Headline benchmark: 12-channel GPS L1 C/A signal plane on one chip.
+
+Measures steady-state IF sample throughput of the receiver's device
+pipeline — 12 tracking channels (DLL/PLL block program) plus one batched
+12-PRN acquisition per simulated second (cold-start duty cycle) — at the
+reference configuration (fs = 4 Msps, BASELINE.json config 2 analogue).
+
+Baseline: the reference claims real-time processing on a desktop CPU
+(/root/reference/README.md:1283), i.e. fs samples/s for 12 channels;
+``vs_baseline`` is the real-time factor (value / fs). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+FS = 4.0e6
+N_CHANNELS = 12
+BLOCK_MS = 20
+SIM_SECONDS_PER_REP = 1.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gnss_sdr_tpu.acquisition.adapters import make_gps_l1ca_acquisition
+    from gnss_sdr_tpu.acquisition.pcps import _pcps_magnitude_grid
+    from gnss_sdr_tpu.codes import gps_l1ca_code
+    from gnss_sdr_tpu.simulate import SatelliteParams, generate_gps_l1ca
+    from gnss_sdr_tpu.tracking import TrackingConfig, TrackingEngine
+
+    block_samples = int(FS * BLOCK_MS * 1e-3)
+    blocks_per_rep = int(SIM_SECONDS_PER_REP * 1000 / BLOCK_MS)
+
+    # --- build engines ----------------------------------------------------
+    cfg = TrackingConfig(fs=FS)
+    engine = TrackingEngine(cfg, N_CHANNELS, block_samples)
+    prns = list(range(1, N_CHANNELS + 1))
+    acq = make_gps_l1ca_acquisition(prns, FS, doppler_max=5000,
+                                    doppler_step=250, pfa=0.001)
+
+    # --- representative input data ---------------------------------------
+    sats = [SatelliteParams(prn=p, cn0_db_hz=45.0,
+                            delay_samples=137.0 * p,
+                            doppler_hz=250.0 * p - 1500.0)
+            for p in prns[:4]]
+    sig = generate_gps_l1ca(sats, FS, 2 * BLOCK_MS * 1e-3 + 0.002, seed=0)
+    n_in = block_samples + engine.overlap
+    block_a = jnp.asarray(sig[:n_in])
+    block_b = jnp.asarray(sig[block_samples:block_samples + n_in])
+    codes = jnp.asarray(np.stack(
+        [np.asarray(gps_l1ca_code(p), dtype=np.float32) for p in prns]))
+
+    state = engine.init_state()
+    for ch in range(N_CHANNELS):
+        state = engine.start_channel(
+            state, ch, doppler_hz=250.0 * ch - 1500.0,
+            offset_samples=37 * ch, cur_len=cfg.samples_per_code)
+
+    acq_x = jnp.asarray(sig[:acq.cfg.fft_size])
+    acq_codes = acq._code_ffts
+    acq_dopp = acq._dopplers
+
+    def one_rep(state):
+        for b in range(blocks_per_rep):
+            blk = block_a if b % 2 == 0 else block_b
+            state, outputs = engine._block_step(state, blk, codes)
+        grid = _pcps_magnitude_grid(
+            acq_x, acq_codes, acq_dopp, jnp.float32(FS),
+            offset=acq._offset, eff=acq._eff)
+        return state, outputs, grid
+
+    # --- warmup (compile) -------------------------------------------------
+    state, outputs, grid = one_rep(state)
+    jax.block_until_ready((state, outputs, grid))
+
+    # --- timed reps -------------------------------------------------------
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, outputs, grid = one_rep(state)
+    jax.block_until_ready((state, outputs, grid))
+    elapsed = time.perf_counter() - t0
+
+    samples_processed = reps * blocks_per_rep * block_samples
+    value = samples_processed / elapsed
+    print(json.dumps({
+        "metric": "GPS L1 C/A 12-channel tracking + batched acquisition, "
+                  "IF samples/s/chip",
+        "value": round(value, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(value / FS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

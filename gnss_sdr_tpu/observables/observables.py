@@ -1,0 +1,185 @@
+"""Common-reception-time observables.
+
+Counterpart of the reference's ``hybrid_observables_gs``
+(/root/reference/src/algorithms/observables/gnuradio_blocks/
+hybrid_observables_gs.cc): a receiver-clock channel ticks every
+``interval_ms`` (the reference's gnss_sdr_sample_counter wired at
+gnss_flowgraph.cc:835); at each tick every channel's transmit TOW /
+Doppler / carrier phase is linearly interpolated between the two adjacent
+PRN-period boundaries (interp_trk_obs, :407-500) and the pseudorange is
+formed against a common receiver TOW that starts at
+ceil(max interpolated TOW) and advances with the sample clock
+(update_TOW :512-548, pseudorange computation :560-575 with the
++-302400000 ms week-rollover guard).
+
+Anchor model: tracking emits, per PRN period, the exact (fractional)
+sample of a code-period boundary and the decoder's TOW at that boundary —
+TOW spacing between anchors is exactly one code period of SV time, while
+sample spacing varies with code Doppler.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import math
+
+from gnss_sdr_tpu.constants.general import MS_PER_WEEK, SPEED_OF_LIGHT_M_MS
+
+
+@dataclasses.dataclass
+class ChannelEpoch:
+    """Interpolated per-channel measurement at one RX epoch."""
+
+    prn: int
+    channel: int
+    tow_ms: float                # interpolated transmit TOW [ms]
+    pseudorange_m: float
+    doppler_hz: float
+    carrier_phase_rad: float
+    cn0_db_hz: float
+    rx_tow_ms: float             # common receiver TOW of this epoch [ms]
+    sample: int                  # absolute RX sample of this epoch
+
+
+@dataclasses.dataclass
+class _Anchor:
+    sample: float                # fractional absolute sample of boundary
+    tow_ms: float                # transmit TOW at that boundary [ms]
+    doppler_hz: float
+    carrier_phase_rad: float
+    cn0_db_hz: float
+
+
+L1_WAVELENGTH_M = 299_792_458.0 / 1575.42e6
+
+
+class ObservablesEngine:
+    def __init__(self, fs: float, interval_ms: int = 20,
+                 n_channels: int = 12, history: int = 64,
+                 enable_carrier_smoothing: bool = False,
+                 smoothing_factor: int = 200):
+        self.fs = float(fs)
+        self.interval_ms = int(interval_ms)
+        self.interval_samples = self.fs * interval_ms * 1e-3
+        self.n_channels = n_channels
+        # Hatch-filter carrier smoothing (the reference's
+        # Obs_Conf::enable_carrier_smoothing / smoothing_factor,
+        # hybrid_observables_gs.cc smooth_pseudoranges)
+        self.enable_carrier_smoothing = enable_carrier_smoothing
+        self.smoothing_factor = smoothing_factor
+        self._smooth: list[tuple[float, float, int] | None] = [
+            None] * n_channels  # (smoothed_pr, phase_rad, count)
+        self._anchors: list[collections.deque[_Anchor]] = [
+            collections.deque(maxlen=history) for _ in range(n_channels)]
+        self._next_epoch_sample = 0.0
+        self._epoch_index = 0
+        self._fix_tow_ms: float | None = None   # rx TOW at epoch _fix_index
+        self._fix_index = 0
+
+    def reset_channel(self, ch: int) -> None:
+        self._anchors[ch].clear()
+        self._smooth[ch] = None
+
+    def _smooth_pr(self, ch: int, pr: float, phase_rad: float) -> float:
+        """Hatch filter: blend the code pseudorange with the carrier-phase
+        range increment (range change = lambda/2pi * delta acc_phase, with
+        our acc_carrier_phase convention acc -= 2*pi*f_d*T)."""
+        prev = self._smooth[ch]
+        if prev is None:
+            self._smooth[ch] = (pr, phase_rad, 1)
+            return pr
+        pr_prev, phase_prev, count = prev
+        pred = pr_prev + (phase_rad - phase_prev) * (
+            L1_WAVELENGTH_M / (2.0 * math.pi))
+        alpha = 1.0 / min(count + 1, self.smoothing_factor)
+        pr_s = alpha * pr + (1.0 - alpha) * pred
+        self._smooth[ch] = (pr_s, phase_rad, count + 1)
+        return pr_s
+
+    def add_anchor(self, ch: int, sample: float, tow_ms: float,
+                   doppler_hz: float, carrier_phase_rad: float,
+                   cn0_db_hz: float) -> None:
+        """Register a code-boundary anchor (one per tracked PRN period)."""
+        self._anchors[ch].append(_Anchor(
+            sample=float(sample), tow_ms=float(tow_ms),
+            doppler_hz=float(doppler_hz),
+            carrier_phase_rad=float(carrier_phase_rad),
+            cn0_db_hz=float(cn0_db_hz)))
+
+    # -- interpolation (interp_trk_obs equivalent) ------------------------
+    def _interp(self, ch: int, sample: float) -> _Anchor | None:
+        anchors = self._anchors[ch]
+        if len(anchors) < 2:
+            return None
+        if not anchors[0].sample <= sample <= anchors[-1].sample:
+            return None
+        lo = None
+        hi = None
+        for a in anchors:
+            if a.sample <= sample:
+                lo = a
+            elif hi is None:
+                hi = a
+                break
+        if lo is None or hi is None:
+            return None
+        f = (sample - lo.sample) / max(hi.sample - lo.sample, 1e-9)
+        return _Anchor(
+            sample=sample,
+            tow_ms=lo.tow_ms + f * (hi.tow_ms - lo.tow_ms),
+            doppler_hz=lo.doppler_hz + f * (hi.doppler_hz - lo.doppler_hz),
+            carrier_phase_rad=lo.carrier_phase_rad
+            + f * (hi.carrier_phase_rad - lo.carrier_phase_rad),
+            cn0_db_hz=lo.cn0_db_hz,
+        )
+
+    # -- epochs -----------------------------------------------------------
+    def epochs_until(self, sample_limit: int) -> list[list[ChannelEpoch]]:
+        """Produce all RX epochs whose tick sample is below the limit
+        (i.e. fully covered by the data delivered so far)."""
+        out = []
+        while self._next_epoch_sample < sample_limit:
+            s = self._next_epoch_sample
+            epoch_idx = self._epoch_index
+            self._next_epoch_sample += self.interval_samples
+            self._epoch_index += 1
+            interps = {}
+            for ch in range(self.n_channels):
+                a = self._interp(ch, s)
+                if a is not None:
+                    interps[ch] = a
+            if not interps:
+                continue
+            if self._fix_tow_ms is None:
+                # first fix of the receiver clock: round the latest channel
+                # TOW up to the epoch grid (update_TOW :512); thereafter the
+                # RX clock advances with the sample counter, even across
+                # epochs with no valid channels
+                max_tow = max(a.tow_ms for a in interps.values())
+                self._fix_tow_ms = (
+                    (int(max_tow) // self.interval_ms + 1) * self.interval_ms)
+                self._fix_index = epoch_idx
+            rx_tow_ms = (self._fix_tow_ms
+                         + (epoch_idx - self._fix_index) * self.interval_ms
+                         ) % MS_PER_WEEK
+            rows = []
+            for ch, a in interps.items():
+                dt_ms = rx_tow_ms - a.tow_ms
+                # week rollover guard (hybrid_observables_gs.cc:560-575)
+                if dt_ms > MS_PER_WEEK / 2:
+                    dt_ms -= MS_PER_WEEK
+                elif dt_ms < -MS_PER_WEEK / 2:
+                    dt_ms += MS_PER_WEEK
+                pr = dt_ms * SPEED_OF_LIGHT_M_MS
+                if self.enable_carrier_smoothing:
+                    pr = self._smooth_pr(ch, pr, a.carrier_phase_rad)
+                rows.append(ChannelEpoch(
+                    prn=0, channel=ch, tow_ms=a.tow_ms,
+                    pseudorange_m=pr,
+                    doppler_hz=a.doppler_hz,
+                    carrier_phase_rad=a.carrier_phase_rad,
+                    cn0_db_hz=a.cn0_db_hz,
+                    rx_tow_ms=rx_tow_ms, sample=int(s)))
+            out.append(rows)
+        return out

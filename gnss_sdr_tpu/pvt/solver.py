@@ -52,13 +52,21 @@ class PvtSolution:
     height_m: float = 0.0
 
 
-def _sagnac_rotate(sat_pos: np.ndarray, tau: float) -> np.ndarray:
-    """Rotate satellite position into the reception-time ECEF frame
-    (earth rotation during signal flight; rtklib geodist)."""
-    theta = OMEGA_EARTH_DOT * tau
-    c, s = math.cos(theta), math.sin(theta)
-    rot = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
-    return rot @ sat_pos
+def _geodist(sat_pos: np.ndarray, rx_pos: np.ndarray) -> tuple[float, np.ndarray]:
+    """Geometric distance with first-order Sagnac (earth-rotation) term and
+    unit line-of-sight vector — rtklib geodist (rtklib_rtkcmn.cc).
+
+    Using the closed-form correction OMGE*(xs*yr - ys*xr)/c instead of
+    rotating by pseudorange/c matters with common-reception-time
+    observables: their receiver clock offset (tens of ms) would corrupt a
+    pr/c-based rotation by ~100 m of satellite position.
+    """
+    d = sat_pos - rx_pos
+    r = float(np.linalg.norm(d))
+    los = d / max(r, 1.0)
+    sagnac = OMEGA_EARTH_DOT * (
+        sat_pos[0] * rx_pos[1] - sat_pos[1] * rx_pos[0]) / C
+    return r + sagnac, los
 
 
 def solve_pvt(
@@ -100,13 +108,10 @@ def solve_pvt(
             t_tx -= dts
             dts = o.eph.clock_bias_s(t_tx) - o.eph.tgd_s  # L1 TGD applies
             pos = np.array(o.eph.sat_pos(t_tx))
-            tau = max(o.pseudorange_m / C, 1e-3)
-            pos = _sagnac_rotate(pos, tau)
             sat_pos[i] = pos
             sat_clk[i] = dts
 
-            rho = np.linalg.norm(pos - x[:3])
-            los = (pos - x[:3]) / max(rho, 1.0)
+            rho, los = _geodist(pos, x[:3])
             h[i, :3] = -los
             h[i, 3] = 1.0
 

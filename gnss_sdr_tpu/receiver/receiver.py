@@ -1,0 +1,217 @@
+"""End-to-end GPS L1 C/A receiver.
+
+The control-plane orchestration the reference spreads across
+ControlThread::run / GNSSFlowgraph::acquisition_manager / apply_action
+(/root/reference/src/core/receiver/control_thread.cc:339-448,
+gnss_flowgraph.cc:1796-2005), restructured as a synchronous per-block
+pipeline:
+
+    block -> [batched acquisition for ALL searching satellites at once]
+          -> [tracking block-step for all channels]
+          -> [telemetry decode per channel, host]
+          -> [observables epochs]
+          -> [PVT solve]
+
+One deliberate improvement over the reference: acquisition searches every
+pending satellite in a single batched grid program instead of throttling
+through ``Channels.in_acquisition`` sequential per-channel searches.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+
+import numpy as np
+
+from gnss_sdr_tpu.acquisition.adapters import make_gps_l1ca_acquisition
+from gnss_sdr_tpu.codes import gps_l1ca_code, sample_code
+from gnss_sdr_tpu.observables import ObservablesEngine
+from gnss_sdr_tpu.pvt import GpsEphemeris, PvtSolution, solve_pvt
+from gnss_sdr_tpu.pvt.solver import Observation
+from gnss_sdr_tpu.receiver.fsm import ChannelFsm, ChannelState
+from gnss_sdr_tpu.telemetry import GpsLnavDecoder
+from gnss_sdr_tpu.tracking import TrackingConfig
+from gnss_sdr_tpu.tracking.channels import TrackingChannels
+
+
+@dataclasses.dataclass
+class ReceiverConfig:
+    fs: float = 4e6
+    n_channels: int = 8
+    block_ms: int = 20
+    # acquisition
+    doppler_max: float = 5000.0
+    doppler_step: float = 250.0
+    acq_pfa: float = 0.001
+    acq_dwells: int = 2
+    # tracking
+    pll_bw_hz: float = 35.0
+    dll_bw_hz: float = 2.0
+    enable_fll_pull_in: bool = True
+    fll_bw_hz: float = 35.0
+    pull_in_time_s: float = 0.5
+    early_late_space_chips: float = 0.5
+    # observables / PVT
+    interval_ms: int = 20
+    output_rate_ms: int = 100
+    apply_tropo: bool = False
+    enable_carrier_smoothing: bool = False
+    smoothing_factor: int = 200
+
+
+class Receiver:
+    """GPS L1 C/A multi-channel software receiver."""
+
+    def __init__(self, cfg: ReceiverConfig, satellites: list[int],
+                 assisted_ephemeris: dict[int, GpsEphemeris] | None = None):
+        self.cfg = cfg
+        fs = cfg.fs
+        self.block_samples = int(round(fs * cfg.block_ms * 1e-3))
+        self.sat_pool: collections.deque[int] = collections.deque(satellites)
+        self.fsms = [ChannelFsm(i) for i in range(cfg.n_channels)]
+
+        self.acq = make_gps_l1ca_acquisition(
+            sorted(satellites), fs,
+            doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
+            pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
+        )
+        trk_cfg = TrackingConfig(
+            fs=fs, pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+            enable_fll_pull_in=cfg.enable_fll_pull_in,
+            fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+            early_late_space_chips=cfg.early_late_space_chips,
+        )
+        self.tracking = TrackingChannels(trk_cfg, cfg.n_channels,
+                                         self.block_samples)
+        self.decoders = [GpsLnavDecoder() for _ in range(cfg.n_channels)]
+        self.observables = ObservablesEngine(
+            fs, cfg.interval_ms, cfg.n_channels,
+            enable_carrier_smoothing=cfg.enable_carrier_smoothing,
+            smoothing_factor=cfg.smoothing_factor)
+        self.ephemerides: dict[int, GpsEphemeris] = dict(
+            assisted_ephemeris or {})
+        self.solutions: list[PvtSolution] = []
+        self._last_solve_tow_ms: float | None = None
+        self._overlap = self.tracking.overlap
+
+    # -- public API --------------------------------------------------------
+    @property
+    def overlap(self) -> int:
+        return self._overlap
+
+    def channel_states(self) -> list[ChannelState]:
+        return [f.state for f in self.fsms]
+
+    def run(self, samples: np.ndarray) -> list[PvtSolution]:
+        """Process a whole capture; returns all PVT solutions."""
+        n_blocks = (len(samples) - self._overlap) // self.block_samples
+        for b in range(n_blocks):
+            lo = b * self.block_samples
+            self.process_block(
+                samples[lo: lo + self.block_samples + self._overlap])
+        return self.solutions
+
+    # -- per-block pipeline ------------------------------------------------
+    def process_block(self, block: np.ndarray) -> list[PvtSolution]:
+        self._manage_acquisition(block)
+        new_solutions = []
+        per_channel = self.tracking.process_block(block)
+        self._feed_decoders(per_channel)
+        new_solutions.extend(self._run_observables_and_pvt())
+        return new_solutions
+
+    # -- acquisition manager (gnss_flowgraph.cc:1796) ----------------------
+    def _manage_acquisition(self, block: np.ndarray) -> None:
+        # fill idle channels from the satellite pool
+        for fsm in self.fsms:
+            if fsm.state is ChannelState.STANDBY and self.sat_pool:
+                fsm.start_acquisition(self.sat_pool.popleft())
+            elif fsm.state is ChannelState.ACQUISITION and fsm.prn == 0 \
+                    and self.sat_pool:
+                fsm.prn = self.sat_pool.popleft()
+
+        searching = {f.prn: f for f in self.fsms
+                     if f.state is ChannelState.ACQUISITION and f.prn != 0}
+        if not searching:
+            return
+        needed = self.acq.cfg.consumed_samples * self.acq.cfg.max_dwells
+        stamp = self.tracking.abs_block_start
+        results = self.acq.search(np.asarray(block[:needed]),
+                                  samplestamp=stamp)
+        for prn, fsm in searching.items():
+            res = results.get(prn)
+            if res is None:
+                continue
+            if res.positive:
+                fsm.valid_acquisition()
+                code_table = np.asarray(gps_l1ca_code(prn), dtype=np.float32)
+                self.tracking.start_channel(
+                    fsm.channel_id, prn, code_table,
+                    res.delay_samples * self._acq_to_trk_ratio(),
+                    res.doppler_hz, res.samplestamp_samples)
+                self.decoders[fsm.channel_id] = GpsLnavDecoder()
+                self.observables.reset_channel(fsm.channel_id)
+            # negative: keep searching the same satellite next block
+            # (the reference cycles the satellite back through the list)
+
+    def _acq_to_trk_ratio(self) -> float:
+        """Acquisition delay is in acquisition-rate samples; the tracking
+        stream runs at the same fs here (no automatic resampler yet)."""
+        return 1.0
+
+    # -- telemetry + observables ------------------------------------------
+    def _feed_decoders(self, per_channel) -> None:
+        for ch, periods in enumerate(per_channel):
+            fsm = self.fsms[ch]
+            if fsm.state is not ChannelState.TRACKING:
+                continue
+            dec = self.decoders[ch]
+            for p in periods:
+                if p.loss_of_lock:
+                    prn = fsm.loss_of_lock()
+                    if prn:
+                        self.sat_pool.append(prn)
+                    self.tracking.stop_channel(ch)
+                    self.observables.reset_channel(ch)
+                    break
+                dec.feed(p.prompt.real, p.sample_start + p.length)
+                if dec.tow_at_last_symbol_ms is not None:
+                    boundary = p.sample_start + p.rem_code_phase_samples
+                    tow_at_boundary = dec.tow_at_last_symbol_ms - 1.0
+                    self.observables.add_anchor(
+                        ch, boundary, tow_at_boundary,
+                        p.carrier_doppler_hz, p.acc_carrier_phase_rad,
+                        p.cn0_db_hz)
+            if dec.has_full_ephemeris() and fsm.prn not in self.ephemerides:
+                self.ephemerides[fsm.prn] = GpsEphemeris.from_fields(
+                    fsm.prn, dec.ephemeris_fields)
+
+    def _run_observables_and_pvt(self) -> list[PvtSolution]:
+        limit = self.tracking.abs_block_start - 2 * self.tracking.engine.max_period
+        new = []
+        for rows in self.observables.epochs_until(limit):
+            # attach PRNs
+            for row in rows:
+                row.prn = self.fsms[row.channel].prn
+            rx_tow_ms = rows[0].rx_tow_ms
+            if self._last_solve_tow_ms is not None and \
+                    rx_tow_ms - self._last_solve_tow_ms < self.cfg.output_rate_ms:
+                continue
+            obs = [
+                Observation(
+                    prn=row.prn, pseudorange_m=row.pseudorange_m,
+                    eph=self.ephemerides[row.prn],
+                    doppler_hz=row.doppler_hz, cn0_db_hz=row.cn0_db_hz)
+                for row in rows
+                if row.prn in self.ephemerides and row.prn != 0
+            ]
+            if len(obs) < 4:
+                continue
+            sol = solve_pvt(obs, rx_tow_ms * 1e-3,
+                            apply_tropo=self.cfg.apply_tropo)
+            if sol.valid:
+                self._last_solve_tow_ms = rx_tow_ms
+                self.solutions.append(sol)
+                new.append(sol)
+        return new

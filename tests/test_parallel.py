@@ -1,0 +1,66 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (see conftest)."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.parallel import (
+    channel_sharding,
+    make_mesh,
+    replicated,
+    shard_tracking_state,
+)
+from gnss_sdr_tpu.tracking import TrackingConfig, TrackingEngine
+
+
+@pytest.fixture(scope="module")
+def small_engine():
+    cfg = TrackingConfig(fs=1.0e5)  # 100 samples/code
+    return TrackingEngine(cfg, n_channels=8, block_samples=400)
+
+
+def _inputs(engine, seed=0):
+    from __graft_entry__ import _example_inputs
+
+    return _example_inputs(engine, seed=seed)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_tracking_matches_single_device(small_engine):
+    engine = small_engine
+    state, block, codes = _inputs(engine)
+    ref_state, ref_out = engine._block_step(state, block, codes)
+    ref_out = {k: np.asarray(v) for k, v in ref_out.items()}
+
+    mesh = make_mesh(8)
+    state2, block2, codes2 = _inputs(engine)
+    state2 = shard_tracking_state(state2, mesh)
+    block2 = jax.device_put(block2, replicated(mesh))
+    codes2 = jax.device_put(codes2, channel_sharding(mesh))
+    new_state, out = engine._block_step(state2, block2, codes2)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    for key in ref_out:
+        np.testing.assert_allclose(
+            out[key], ref_out[key], rtol=2e-5, atol=2e-4,
+            err_msg=f"output {key} diverged under sharding")
+    np.testing.assert_allclose(
+        np.asarray(new_state.carrier_doppler_hz),
+        np.asarray(ref_state.carrier_doppler_hz), rtol=2e-5, atol=1e-3)
+
+
+def test_dryrun_multichip_entrypoint():
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    new_state, outputs = jax.jit(fn)(*args)
+    assert np.asarray(outputs["valid"]).any()
