@@ -50,8 +50,13 @@ def main() -> None:
             for p in prns[:4]]
     sig = generate_gps_l1ca(sats, FS, 2 * BLOCK_MS * 1e-3 + 0.002, seed=0)
     n_in = block_samples + engine.overlap
-    block_a = jnp.asarray(sig[:n_in])
-    block_b = jnp.asarray(sig[block_samples:block_samples + n_in])
+
+    def planar(seg):
+        return (jnp.asarray(np.ascontiguousarray(seg.real, np.float32)),
+                jnp.asarray(np.ascontiguousarray(seg.imag, np.float32)))
+
+    block_a = planar(sig[:n_in])
+    block_b = planar(sig[block_samples:block_samples + n_in])
     codes = jnp.asarray(np.stack(
         [np.asarray(gps_l1ca_code(p), dtype=np.float32) for p in prns]))
 
@@ -61,16 +66,22 @@ def main() -> None:
             state, ch, doppler_hz=250.0 * ch - 1500.0,
             offset_samples=37 * ch, cur_len=cfg.samples_per_code)
 
-    acq_x = jnp.asarray(sig[:acq.cfg.fft_size])
-    acq_codes = acq._code_ffts
+    acq_x = planar(sig[:acq.cfg.fft_size])
     acq_dopp = acq._dopplers
 
+    # superblock: one device call per simulated second (the steady-state
+    # real-time path; per-call dispatch would otherwise dominate)
+    blocks_re = jnp.stack([(block_a if b % 2 == 0 else block_b)[0]
+                           for b in range(blocks_per_rep)])
+    blocks_im = jnp.stack([(block_a if b % 2 == 0 else block_b)[1]
+                           for b in range(blocks_per_rep)])
+
     def one_rep(state):
-        for b in range(blocks_per_rep):
-            blk = block_a if b % 2 == 0 else block_b
-            state, outputs = engine._block_step(state, blk, codes)
+        state, outputs = engine._superblock_step(
+            state, blocks_re, blocks_im, codes)
         grid = _pcps_magnitude_grid(
-            acq_x, acq_codes, acq_dopp, jnp.float32(FS),
+            acq_x[0], acq_x[1], acq._code_fft_re, acq._code_fft_im,
+            acq_dopp, jnp.float32(FS), plan=acq._plan,
             offset=acq._offset, eff=acq._eff)
         return state, outputs, grid
 

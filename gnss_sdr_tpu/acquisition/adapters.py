@@ -65,6 +65,49 @@ def gps_l1ca_replicas(prns, fs: float, sampled_ms: int = 1) -> dict[int, np.ndar
     return out
 
 
+def galileo_e1_replicas(
+    prns, fs: float, component: str = "B", cboc: bool = True,
+) -> dict[int, np.ndarray]:
+    """Sampled CBOC/sinBOC E1 replicas over one 4 ms code period
+    (Galileo_E1_PCPS_Ambiguous_Acquisition adapter semantics,
+    /root/reference/src/algorithms/acquisition/adapters/
+    galileo_e1_pcps_ambiguous_acquisition.cc)."""
+    from gnss_sdr_tpu.codes.galileo_e1 import galileo_e1_sampled
+
+    return {
+        prn: galileo_e1_sampled(prn, fs, component, cboc).astype(np.complex64)
+        for prn in prns
+    }
+
+
+def make_galileo_e1_acquisition(
+    prns,
+    fs: float,
+    config: Configuration | None = None,
+    role: str = "Acquisition_1B",
+    component: str = "B",
+    cboc: bool = True,
+    **overrides,
+) -> PcpsAcquisition:
+    """Galileo E1 PCPS acquisition (4 ms coherent by default)."""
+    if config is not None:
+        cfg = acq_config_from(config, role, fs, "1B")
+    else:
+        sig = get_signal("1B")
+        cfg = AcqConfig(
+            fs=fs,
+            samples_per_code=sig.samples_per_code(fs),
+            code_length_chips=sig.code_length_chips,
+            ms_per_code=4,
+            sampled_ms=4,
+            doppler_step=125.0,
+        )
+    for key, value in overrides.items():
+        setattr(cfg, key, value)
+    codes = galileo_e1_replicas(prns, fs, component, cboc)
+    return PcpsAcquisition(cfg, codes)
+
+
 def make_gps_l1ca_acquisition(
     prns,
     fs: float,

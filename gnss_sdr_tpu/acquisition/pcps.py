@@ -29,6 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import special as sp_special
 
+from gnss_sdr_tpu.ops.cplx import cmul
+from gnss_sdr_tpu.ops.fft import FftPlan, fft_planar, ifft_planar, plan_fft
+
 
 @dataclasses.dataclass
 class AcqConfig:
@@ -149,27 +152,38 @@ class AcqResult:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("offset", "eff"))
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "offset", "eff"))
 def _pcps_magnitude_grid(
-    x: jax.Array,          # [N] complex64, zero-padded to fft_size
-    code_ffts: jax.Array,  # [P, N] complex64, conj(FFT(local code layout))
-    dopplers: jax.Array,   # [D] float32
-    fs: jax.Array,         # scalar float32
+    x_re: jax.Array,        # [N] float32, zero-padded to fft_size
+    x_im: jax.Array,        # [N] float32
+    code_fft_re: jax.Array,  # [P, N] float32: conj(FFT(local code layout))
+    code_fft_im: jax.Array,  # [P, N] float32
+    dopplers: jax.Array,    # [D] float32
+    fs: jax.Array,          # scalar float32
+    plan: FftPlan,
     offset: int,
     eff: int,
 ) -> jax.Array:
     """|IFFT(FFT(x . wipeoff) . conj(FFT(code)))|^2 for all (PRN, Doppler).
 
-    One fused batched program; XLA maps the FFTs and elementwise stages onto
-    the chip without the reference's per-bin kernel launches.
+    One fused batched program over the whole search grid — planar complex
+    (no complex dtype touches the device) with matmul-based FFTs, replacing
+    the reference's serial per-Doppler-bin FFTW loop
+    (pcps_acquisition.cc:655-687).
     """
-    n = jnp.arange(x.shape[0], dtype=jnp.float32)
+    n = jnp.arange(x_re.shape[0], dtype=jnp.float32)
     phase = (-2.0 * jnp.pi / fs) * dopplers[:, None] * n[None, :]
-    wipeoff = x[None, :] * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-    spectra = jnp.fft.fft(wipeoff, axis=-1)                   # [D, N]
-    corr = jnp.fft.ifft(spectra[None, :, :] * code_ffts[:, None, :], axis=-1)
-    mag = jnp.abs(corr[..., offset:offset + eff]) ** 2        # [P, D, eff]
-    return mag.astype(jnp.float32)
+    c, s = jnp.cos(phase), jnp.sin(phase)
+    wipe = (x_re[None, :] * c - x_im[None, :] * s,
+            x_re[None, :] * s + x_im[None, :] * c)
+    spectra = fft_planar(plan, wipe)                          # [D, N]
+    prod = cmul((spectra[0][None, :, :], spectra[1][None, :, :]),
+                (code_fft_re[:, None, :], code_fft_im[:, None, :]))
+    corr = ifft_planar(plan, prod)                            # [P, D, N]
+    cr = corr[0][..., offset:offset + eff]
+    ci = corr[1][..., offset:offset + eff]
+    return (cr * cr + ci * ci).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_dwells",))
@@ -254,9 +268,12 @@ class PcpsAcquisition:
                 layouts[row, :] = code
             else:
                 layouts[row, fft_size - n:] = code
-        self._code_ffts = jnp.asarray(
-            np.conj(np.fft.fft(layouts, axis=-1)).astype(np.complex64)
-        )
+        code_ffts = np.conj(np.fft.fft(layouts, axis=-1))  # host-side numpy
+        self._code_fft_re = jnp.asarray(
+            np.ascontiguousarray(code_ffts.real, dtype=np.float32))
+        self._code_fft_im = jnp.asarray(
+            np.ascontiguousarray(code_ffts.imag, dtype=np.float32))
+        self._plan = plan_fft(fft_size)
         self._dopplers = jnp.asarray(cfg.doppler_grid())
         self._fs = jnp.float32(cfg.fs)
         self._offset = cfg.effective_fft_size if cfg.bit_transition_flag else 0
@@ -264,19 +281,20 @@ class PcpsAcquisition:
         self._samples_per_chip = cfg.samples_per_chip
 
     # -- internals --------------------------------------------------------
-    def _prepare_buffer(self, samples: np.ndarray, dwell: int) -> jnp.ndarray:
+    def _prepare_buffer(self, samples: np.ndarray, dwell: int):
         cfg = self.cfg
         n = cfg.consumed_samples
         start = dwell * n
         seg = np.asarray(samples[start:start + n], dtype=np.complex64)
         if seg.shape[0] < cfg.fft_size:
             seg = np.pad(seg, (0, cfg.fft_size - seg.shape[0]))
-        return jnp.asarray(seg)
+        return (jnp.asarray(np.ascontiguousarray(seg.real, dtype=np.float32)),
+                jnp.asarray(np.ascontiguousarray(seg.imag, dtype=np.float32)))
 
-    def _grid(self, x: jnp.ndarray, dopplers: jnp.ndarray) -> jnp.ndarray:
+    def _grid(self, x, dopplers: jnp.ndarray) -> jnp.ndarray:
         return _pcps_magnitude_grid(
-            x, self._code_ffts, dopplers, self._fs,
-            offset=self._offset, eff=self._eff,
+            x[0], x[1], self._code_fft_re, self._code_fft_im, dopplers,
+            self._fs, plan=self._plan, offset=self._offset, eff=self._eff,
         )
 
     def _evaluate(
@@ -377,7 +395,8 @@ class PcpsAcquisition:
         threshold2 = cfg.calculate_threshold(step_two=True)
         dopplers2 = cfg.doppler_grid_step2(coarse.doppler_hz)
         row = self.prns.index(coarse.prn)
-        code_fft = self._code_ffts[row:row + 1]
+        cf_re = self._code_fft_re[row:row + 1]
+        cf_im = self._code_fft_im[row:row + 1]
 
         grid_sum = None
         avail_dwells = max(1, min(cfg.max_dwells,
@@ -385,8 +404,8 @@ class PcpsAcquisition:
         for dwell in range(avail_dwells):
             x = self._prepare_buffer(samples, dwell)
             g = _pcps_magnitude_grid(
-                x, code_fft, jnp.asarray(dopplers2), self._fs,
-                offset=self._offset, eff=self._eff,
+                x[0], x[1], cf_re, cf_im, jnp.asarray(dopplers2), self._fs,
+                plan=self._plan, offset=self._offset, eff=self._eff,
             )
             grid_sum = g if grid_sum is None else grid_sum + g
 

@@ -1,4 +1,4 @@
-"""Carrier-wipeoff multicorrelator.
+"""Carrier-wipeoff multicorrelator (planar complex).
 
 TPU-native equivalent of the reference's hot tracking loop — the fused
 VOLK kernel pair ``volk_gnsssdr_32f_xn_resampler_32f_xn`` (tap-shifted code
@@ -17,8 +17,10 @@ Semantics reproduced exactly:
   (phase_offset conjugate + phase_inc = e^{-j step},
   cpu_multicorrelator_real_codes.cc:113-126).
 
-One call computes all taps of all channels as a batched masked reduction;
-an invalid tail (n >= length) contributes zero, which makes per-channel
+Complex samples travel as planar (re, im) float32 pairs — the device
+backend has no complex dtype, and planar maps directly onto the VPU. One
+call computes all taps of all channels as a batched masked reduction; an
+invalid tail (n >= length) contributes zero, which makes per-channel
 dynamic PRN-period lengths representable with one static shape.
 """
 
@@ -28,7 +30,8 @@ import jax.numpy as jnp
 
 
 def multicorrelate(
-    x,                    # [..., L] complex64 input samples
+    x_re,                 # [..., L] float32 input samples (real part)
+    x_im,                 # [..., L] float32 input samples (imag part)
     code_table,           # [..., code_len] float32 local code (+-1 chips)
     shifts,               # [T] float32 tap shifts in code-table units
     rem_code_phase,       # [...] float32, code-table units
@@ -39,24 +42,28 @@ def multicorrelate(
     carr_phase_rate_step_rad=None,   # [...] float32 (high-dyn) or None
     code_phase_rate_step=None,       # [...] float32 (high-dyn) or None
 ):
-    """Return correlator outputs [..., T] complex64.
+    """Return correlator outputs ([..., T] re, [..., T] im).
 
     ``...`` is any batch shape (channels). L is the static max period
     length; ``length`` masks the live prefix.
     """
-    L = x.shape[-1]
+    L = x_re.shape[-1]
     code_len = code_table.shape[-1]
     n = jnp.arange(L, dtype=jnp.float32)
     valid = n < length[..., None].astype(jnp.float32)
 
-    # carrier wipeoff (negative-rotation NCO)
+    # carrier wipeoff: multiply by e^{-j phase}
     phase = rem_carr_phase_rad[..., None] + carr_phase_step_rad[..., None] * n
     if carr_phase_rate_step_rad is not None:
         phase = phase + 0.5 * carr_phase_rate_step_rad[..., None] * n * n
-    rotated = x * (jnp.cos(phase) - 1j * jnp.sin(phase))
-    rotated = jnp.where(valid, rotated, 0.0)
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    rot_re = x_re * c + x_im * s
+    rot_im = x_im * c - x_re * s
+    rot_re = jnp.where(valid, rot_re, 0.0)
+    rot_im = jnp.where(valid, rot_im, 0.0)
 
-    # tap-shifted code resampling: idx[t, n] = floor(step*n + shift_t - rem)
+    # tap-shifted code resampling: idx[t, n] = floor(step*n + shift - rem)
     base = code_phase_step[..., None] * n - rem_code_phase[..., None]
     if code_phase_rate_step is not None:
         base = base + 0.5 * code_phase_rate_step[..., None] * n * n
@@ -66,4 +73,6 @@ def multicorrelate(
         code_table[..., None, :], idx, axis=-1
     )  # [..., T, L]
 
-    return jnp.sum(codes * rotated[..., None, :], axis=-1)
+    corr_re = jnp.sum(codes * rot_re[..., None, :], axis=-1)
+    corr_im = jnp.sum(codes * rot_im[..., None, :], axis=-1)
+    return corr_re, corr_im

@@ -104,9 +104,13 @@ class TrackingChannels:
         absolute sample stamps.
         """
         block_start = self.abs_block_start
+        block = np.asarray(block)
+        block_re = jnp.asarray(
+            np.ascontiguousarray(block.real, dtype=np.float32))
+        block_im = jnp.asarray(
+            np.ascontiguousarray(block.imag, dtype=np.float32))
         self.state, out = self.engine.process_block(
-            self.state, jnp.asarray(block, dtype=jnp.complex64),
-            self._code_tables_dev)
+            self.state, block_re, block_im, self._code_tables_dev)
         self.abs_block_start += self.block_samples
 
         out = {k: np.asarray(v) for k, v in out.items()}
@@ -124,8 +128,10 @@ class TrackingChannels:
                     length=int(out["length"][step, ch]),
                     rem_code_phase_samples=float(
                         out["rem_code_phase_samples"][step, ch]),
-                    prompt=complex(out["prompt"][step, ch]),
-                    corr=out["corr"][step, ch],
+                    prompt=complex(out["prompt_re"][step, ch],
+                                   out["prompt_im"][step, ch]),
+                    corr=(out["corr_re"][step, ch]
+                          + 1j * out["corr_im"][step, ch]),
                     carrier_doppler_hz=float(
                         out["carrier_doppler_hz"][step, ch]),
                     code_freq_chips=float(out["code_freq_chips"][step, ch]),

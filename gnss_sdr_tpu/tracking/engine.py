@@ -127,8 +127,10 @@ class TrackState(NamedTuple):
     carr_x: jax.Array              # f32
     code_x_hist: jax.Array         # f32 [C, 4]
     code_y_hist: jax.Array         # f32 [C, 3]
-    p_old: jax.Array               # complex64: previous prompt (FLL memory)
-    prompt_buf: jax.Array          # complex64 [C, cn0_samples], newest first
+    p_old_re: jax.Array            # f32: previous prompt (FLL memory)
+    p_old_im: jax.Array
+    prompt_buf_re: jax.Array       # f32 [C, cn0_samples], newest first
+    prompt_buf_im: jax.Array
     prompt_count: jax.Array        # int32 (capped)
     cn0_db_hz: jax.Array           # f32 (smoothed)
     carrier_lock_test: jax.Array   # f32 (smoothed)
@@ -172,7 +174,11 @@ class TrackingEngine:
             cfg.pull_in_time_s / (cfg.code_period_s
                                   * cfg.extend_correlation_symbols)
         )
-        self._block_step = jax.jit(self._build_block_step(), donate_argnums=(0,))
+        single, multi = self._build_block_step()
+        self._block_step = jax.jit(single, donate_argnums=(0,))
+        # superblock: K blocks per device call (amortizes dispatch latency;
+        # the steady-state path for real-time operation)
+        self._superblock_step = jax.jit(multi, donate_argnums=(0,))
 
     # -- state construction ------------------------------------------------
     def init_state(self) -> TrackState:
@@ -194,9 +200,11 @@ class TrackingEngine:
             carr_w=f32(), carr_x=f32(),
             code_x_hist=jnp.zeros((c, lf.HISTORY), dtype=jnp.float32),
             code_y_hist=jnp.zeros((c, lf.HISTORY - 1), dtype=jnp.float32),
-            p_old=jnp.zeros((c,), dtype=jnp.complex64),
-            prompt_buf=jnp.zeros((c, self.cfg.cn0_samples),
-                                 dtype=jnp.complex64),
+            p_old_re=f32(), p_old_im=f32(),
+            prompt_buf_re=jnp.zeros((c, self.cfg.cn0_samples),
+                                    dtype=jnp.float32),
+            prompt_buf_im=jnp.zeros((c, self.cfg.cn0_samples),
+                                    dtype=jnp.float32),
             prompt_count=i32(), cn0_db_hz=f32(), carrier_lock_test=f32(),
             evm=f32(), code_lock_fail=i32(), carrier_lock_fail=i32(),
             loss_of_lock=jnp.zeros((c,), dtype=bool), step_count=i32(),
@@ -237,8 +245,10 @@ class TrackingEngine:
             carr_x=state.carr_x.at[ch].set(x0),
             code_x_hist=state.code_x_hist.at[ch].set(0.0),
             code_y_hist=state.code_y_hist.at[ch].set(0.0),
-            p_old=state.p_old.at[ch].set(0.0 + 0.0j),
-            prompt_buf=state.prompt_buf.at[ch].set(0.0 + 0.0j),
+            p_old_re=state.p_old_re.at[ch].set(0.0),
+            p_old_im=state.p_old_im.at[ch].set(0.0),
+            prompt_buf_re=state.prompt_buf_re.at[ch].set(0.0),
+            prompt_buf_im=state.prompt_buf_im.at[ch].set(0.0),
             prompt_count=state.prompt_count.at[ch].set(0),
             cn0_db_hz=state.cn0_db_hz.at[ch].set(0.0),
             carrier_lock_test=state.carrier_lock_test.at[ch].set(0.0),
@@ -273,27 +283,30 @@ class TrackingEngine:
         pull_in_steps = self._pull_in_steps
         tiny = jnp.finfo(jnp.float32).tiny
 
-        def scan_body(carry, _, block, code_tables):
+        def scan_body(carry, _, block_re, block_im, code_tables):
             s: TrackState = carry
             process = s.active & (s.offset < block_samples) & (~s.loss_of_lock)
 
             start = jnp.clip(s.offset, 0, total - max_period)
-            x = jax.vmap(
-                lambda o: jax.lax.dynamic_slice(block, (o,), (max_period,))
-            )(start)
+            slice_fn = jax.vmap(
+                lambda b, o: jax.lax.dynamic_slice(b, (o,), (max_period,)),
+                in_axes=(None, 0))
+            x_re = slice_fn(block_re, start)
+            x_im = slice_fn(block_im, start)
 
-            corr = multicorrelate(
-                x, code_tables, shifts,
+            corr_re, corr_im = multicorrelate(
+                x_re, x_im, code_tables, shifts,
                 s.rem_code_phase_chips, s.code_phase_step_chips,
                 s.rem_carr_phase_rad, s.carrier_phase_step_rad,
                 s.cur_len,
-            )  # [C, T]
-            prompt = corr[:, prompt_tap]
+            )  # [C, T] each
+            p_re = corr_re[:, prompt_tap]
+            p_im = corr_im[:, prompt_tap]
 
             # ---- run_dll_pll (dll_pll_veml_tracking.cc:1092-1213) -------
-            pll_disc_hz = disc.pll_cloop_two_quadrant_atan(prompt) / TWO_PI
+            pll_disc_hz = disc.pll_cloop_two_quadrant_atan(p_re, p_im) / TWO_PI
             fll_disc_hz = disc.fll_diff_atan(
-                s.p_old, prompt, 0.0, t_nominal) / TWO_PI
+                s.p_old_re, s.p_old_im, p_re, p_im, 0.0, t_nominal) / TWO_PI
             pull_in = s.step_count < pull_in_steps
             if cfg.enable_fll_pull_in or cfg.enable_fll_steady_state:
                 use_fll = (pull_in & cfg.enable_fll_pull_in) \
@@ -312,11 +325,12 @@ class TrackingEngine:
 
             if cfg.veml:
                 dll_disc = disc.dll_nc_vemlp_normalized(
-                    corr[:, 0], corr[:, 1], corr[:, 3], corr[:, 4])
+                    corr_re[:, 0], corr_im[:, 0], corr_re[:, 1], corr_im[:, 1],
+                    corr_re[:, 3], corr_im[:, 3], corr_re[:, 4], corr_im[:, 4])
             else:
                 dll_disc = disc.dll_nc_e_minus_l_normalized(
-                    corr[:, 0], corr[:, 2], cfg.spc, cfg.slope,
-                    cfg.y_intercept)
+                    corr_re[:, 0], corr_im[:, 0], corr_re[:, 2], corr_im[:, 2],
+                    cfg.spc, cfg.slope, cfg.y_intercept)
             (code_x_hist, code_y_hist), code_err_filt = lf.iir_step(
                 (s.code_x_hist, s.code_y_hist), dll_disc, dll_ic, dll_oc
             )
@@ -337,21 +351,25 @@ class TrackingEngine:
             rem_code_chips = code_freq * rem_code_samples / fs * cspc
 
             # ---- cn0_and_tracking_lock_status (:970-1062) ---------------
-            prompt_buf = jnp.concatenate(
-                [prompt[:, None], s.prompt_buf[:, :-1]], axis=1)
+            prompt_buf_re = jnp.concatenate(
+                [p_re[:, None], s.prompt_buf_re[:, :-1]], axis=1)
+            prompt_buf_im = jnp.concatenate(
+                [p_im[:, None], s.prompt_buf_im[:, :-1]], axis=1)
             count_pre = s.prompt_count
             have_cn0 = count_pre >= cfg.cn0_samples
             first_cn0 = count_pre == cfg.cn0_samples
             prompt_count = jnp.minimum(count_pre + 1, cfg.cn0_samples + 1)
 
-            cn0_raw = lockdet.cn0_m2m4_estimator(prompt_buf, t_nominal)
+            cn0_raw = lockdet.cn0_m2m4_estimator(
+                prompt_buf_re, prompt_buf_im, t_nominal)
             a = jnp.float32(cfg.cn0_smoother_alpha)
             cn0_s = jnp.where(
                 have_cn0,
                 jnp.where(first_cn0, cn0_raw,
                           a * cn0_raw + (1 - a) * s.cn0_db_hz),
                 s.cn0_db_hz)
-            lock_raw = lockdet.carrier_lock_detector(prompt[:, None])
+            lock_raw = lockdet.carrier_lock_detector(
+                p_re[:, None], p_im[:, None])
             al = jnp.float32(cfg.carrier_lock_test_smoother_alpha)
             lock_s = jnp.where(
                 have_cn0,
@@ -374,11 +392,11 @@ class TrackingEngine:
             code_fail = jnp.where(loss, 0, code_fail)
 
             # fork EVM indicator (:1030-1056)
-            d = jnp.sqrt(jnp.mean(prompt_buf.real**2, axis=1))
+            d = jnp.sqrt(jnp.mean(prompt_buf_re**2, axis=1))
             d = jnp.maximum(d, tiny)
             evm_raw = jnp.sqrt(jnp.mean(
-                (jnp.abs(prompt_buf.real / d[:, None]) - 1.0) ** 2
-                + (prompt_buf.imag / d[:, None]) ** 2, axis=1))
+                (jnp.abs(prompt_buf_re / d[:, None]) - 1.0) ** 2
+                + (prompt_buf_im / d[:, None]) ** 2, axis=1))
             evm = jnp.where(have_cn0, evm_raw, s.evm)
 
             new = TrackState(
@@ -394,8 +412,9 @@ class TrackingEngine:
                 code_phase_step_chips=code_step,
                 carr_w=carr_w, carr_x=carr_x,
                 code_x_hist=code_x_hist, code_y_hist=code_y_hist,
-                p_old=prompt,
-                prompt_buf=prompt_buf, prompt_count=prompt_count,
+                p_old_re=p_re, p_old_im=p_im,
+                prompt_buf_re=prompt_buf_re, prompt_buf_im=prompt_buf_im,
+                prompt_count=prompt_count,
                 cn0_db_hz=cn0_s, carrier_lock_test=lock_s, evm=evm,
                 code_lock_fail=code_fail, carrier_lock_fail=carrier_fail,
                 loss_of_lock=s.loss_of_lock | (loss & s.active),
@@ -415,8 +434,10 @@ class TrackingEngine:
                 valid=process,
                 start_offset=s.offset,
                 length=s.cur_len,
-                corr=corr,
-                prompt=prompt,
+                corr_re=corr_re,
+                corr_im=corr_im,
+                prompt_re=p_re,
+                prompt_im=p_im,
                 carrier_doppler_hz=jnp.where(process, carrier_doppler,
                                              s.carrier_doppler_hz),
                 code_freq_chips=jnp.where(process, code_freq,
@@ -431,9 +452,10 @@ class TrackingEngine:
             )
             return merged, outputs
 
-        def block_step(state: TrackState, block, code_tables):
+        def block_step(state: TrackState, block_re, block_im, code_tables):
             body = functools.partial(
-                scan_body, block=block, code_tables=code_tables)
+                scan_body, block_re=block_re, block_im=block_im,
+                code_tables=code_tables)
             state, outputs = jax.lax.scan(
                 lambda c, xs: body(c, xs), state, None, length=n_steps)
             # rebase offsets for the next block (stream advances by
@@ -443,15 +465,30 @@ class TrackingEngine:
                                  state.offset - block_samples, state.offset))
             return state, outputs
 
-        return block_step
+        def superblock_step(state: TrackState, blocks_re, blocks_im,
+                            code_tables):
+            """K consecutive blocks in one program: outer scan over
+            blocks, inner scan over PRN periods. blocks_* have shape
+            [K, block_samples + overlap]."""
+
+            def outer(carry, blk):
+                return block_step(carry, blk[0], blk[1], code_tables)
+
+            return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+
+        return block_step, superblock_step
 
     def process_block(
-        self, state: TrackState, block: jax.Array, code_tables: jax.Array
+        self, state: TrackState, block_re: jax.Array, block_im: jax.Array,
+        code_tables: jax.Array,
     ):
-        """Run one block; returns (new_state, outputs dict of [S, C] arrays)."""
-        if block.shape[0] != self.block_samples + self.overlap:
+        """Run one block; returns (new_state, outputs dict of [S, C] arrays).
+
+        ``block_re``/``block_im`` are the planar complex IF samples,
+        ``block_samples + overlap`` long."""
+        if block_re.shape[0] != self.block_samples + self.overlap:
             raise ValueError(
                 f"block must have {self.block_samples + self.overlap} samples "
-                f"(block_samples + overlap), got {block.shape[0]}"
+                f"(block_samples + overlap), got {block_re.shape[0]}"
             )
-        return self._block_step(state, block, code_tables)
+        return self._block_step(state, block_re, block_im, code_tables)

@@ -1,0 +1,61 @@
+import numpy as np
+
+from gnss_sdr_tpu.conditioner import (
+    design_lowpass_taps,
+    fir_filter,
+    freq_xlating_fir_filter,
+    direct_resample_indices,
+)
+from gnss_sdr_tpu.ops.cplx import from_complex, to_complex
+
+
+def test_lowpass_rejects_out_of_band():
+    fs = 4e6
+    taps = design_lowpass_taps(fs, 1.2e6, 0.4e6, ntaps=97)
+    n = 4096
+    t = np.arange(n) / fs
+    inband = np.exp(2j * np.pi * 0.5e6 * t).astype(np.complex64)
+    outband = np.exp(2j * np.pi * 1.9e6 * t).astype(np.complex64)
+    y_in = to_complex(fir_filter(from_complex(inband), taps))
+    y_out = to_complex(fir_filter(from_complex(outband), taps))
+    # compare steady-state power (skip the transient)
+    p_in = np.mean(np.abs(y_in[200:]) ** 2)
+    p_out = np.mean(np.abs(y_out[200:]) ** 2)
+    assert p_in > 0.9
+    assert p_out < 1e-3 * p_in
+
+
+def test_fir_matches_numpy_convolution():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(500) + 1j * rng.standard_normal(500)).astype(
+        np.complex64)
+    taps = rng.standard_normal(31).astype(np.float32)
+    got = to_complex(fir_filter(from_complex(x), taps))
+    ref = np.convolve(x, taps, mode="full")[:500]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_freq_xlating_decimator():
+    fs = 8e6
+    f0 = 2e6
+    n = 8192
+    t = np.arange(n) / fs
+    # IF carrier at f0 + 10 kHz -> baseband 10 kHz after translation
+    x = np.exp(2j * np.pi * (f0 + 1e4) * t).astype(np.complex64)
+    taps = design_lowpass_taps(fs, 1.5e6, 0.5e6, ntaps=97)
+    y = to_complex(freq_xlating_fir_filter(from_complex(x), taps, f0, fs,
+                                           decimation=4))
+    assert y.shape[0] == n // 4
+    # instantaneous frequency of the decimated output ~ 10 kHz
+    ph = np.unwrap(np.angle(y[100:]))
+    freq = np.mean(np.diff(ph)) * (fs / 4) / (2 * np.pi)
+    assert abs(freq - 1e4) < 200.0
+
+
+def test_direct_resampler_indices():
+    idx = direct_resample_indices(100, 10.0, 4.0)
+    assert idx.shape[0] == 40
+    assert idx[0] == 0 and idx[1] == 2 and idx[-1] <= 99
+    # identity when rates match
+    idx2 = direct_resample_indices(50, 5.0, 5.0)
+    np.testing.assert_array_equal(idx2, np.arange(50))

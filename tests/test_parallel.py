@@ -31,16 +31,17 @@ def test_mesh_has_8_devices():
 
 def test_sharded_tracking_matches_single_device(small_engine):
     engine = small_engine
-    state, block, codes = _inputs(engine)
-    ref_state, ref_out = engine._block_step(state, block, codes)
+    state, block_re, block_im, codes = _inputs(engine)
+    ref_state, ref_out = engine._block_step(state, block_re, block_im, codes)
     ref_out = {k: np.asarray(v) for k, v in ref_out.items()}
 
     mesh = make_mesh(8)
-    state2, block2, codes2 = _inputs(engine)
+    state2, block_re2, block_im2, codes2 = _inputs(engine)
     state2 = shard_tracking_state(state2, mesh)
-    block2 = jax.device_put(block2, replicated(mesh))
+    block_re2 = jax.device_put(block_re2, replicated(mesh))
+    block_im2 = jax.device_put(block_im2, replicated(mesh))
     codes2 = jax.device_put(codes2, channel_sharding(mesh))
-    new_state, out = engine._block_step(state2, block2, codes2)
+    new_state, out = engine._block_step(state2, block_re2, block_im2, codes2)
     out = {k: np.asarray(v) for k, v in out.items()}
 
     for key in ref_out:
