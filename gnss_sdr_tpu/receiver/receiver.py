@@ -121,6 +121,69 @@ class Receiver:
         new_solutions.extend(self._run_observables_and_pvt())
         return new_solutions
 
+    # -- receiver management (gnss_flowgraph.cc:1986-2005 standby,
+    #    control_thread.cc apply_action cold/warm/hot start,
+    #    tcp_cmd_interface.cc verb semantics) --------------------------------
+    def apply_command(self, verb: str, args: list[str] | None = None) -> str:
+        args = args or []
+        verb = verb.lower()
+        if verb == "status":
+            lines = []
+            for fsm in self.fsms:
+                lines.append(
+                    f"ch {fsm.channel_id}: {fsm.state.name} PRN {fsm.prn}")
+            lines.append(f"pool: {list(self.sat_pool)}")
+            lines.append(f"fixes: {len(self.solutions)}")
+            return "; ".join(lines)
+        if verb == "standby":
+            self._stop_all_channels()
+            return "OK standby"
+        if verb == "coldstart":
+            self._stop_all_channels()
+            self.ephemerides.clear()
+            self.observables = ObservablesEngine(
+                self.cfg.fs, self.cfg.interval_ms, self.cfg.n_channels,
+                enable_carrier_smoothing=self.cfg.enable_carrier_smoothing,
+                smoothing_factor=self.cfg.smoothing_factor)
+            self._last_solve_tow_ms = None
+            return "OK coldstart"
+        if verb == "warmstart":
+            # keep assistance (ephemerides), restart signal processing
+            self._stop_all_channels()
+            self._last_solve_tow_ms = None
+            return "OK warmstart"
+        if verb == "hotstart":
+            self._stop_all_channels()
+            return "OK hotstart"
+        if verb == "reset":
+            # the reference restarts the whole process via exit code 42
+            # (main.cc:66, gnss-sdr-harness.sh); callers observe this reply
+            return "OK reset requested"
+        if verb == "set_ch_satellite":
+            ch, prn = int(args[0]), int(args[1])
+            if not 0 <= ch < self.cfg.n_channels:
+                return f"ERROR channel {ch} out of range"
+            fsm = self.fsms[ch]
+            old = fsm.stop()
+            if old:
+                self.sat_pool.append(old)
+            self.tracking.stop_channel(ch)
+            self.observables.reset_channel(ch)
+            if prn in self.sat_pool:
+                self.sat_pool.remove(prn)
+            fsm.start_acquisition(prn)
+            return f"OK ch {ch} -> PRN {prn}"
+        return f"ERROR unknown command {verb}"
+
+    def _stop_all_channels(self) -> None:
+        for ch, fsm in enumerate(self.fsms):
+            prn = fsm.stop()
+            if prn:
+                self.sat_pool.append(prn)
+            self.tracking.stop_channel(ch)
+            self.observables.reset_channel(ch)
+            self.decoders[ch] = GpsLnavDecoder()
+
     # -- acquisition manager (gnss_flowgraph.cc:1796) ----------------------
     def _manage_acquisition(self, block: np.ndarray) -> None:
         # fill idle channels from the satellite pool

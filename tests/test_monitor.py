@@ -1,0 +1,90 @@
+"""Output/monitoring layer tests: NMEA checksums, track writers, dumps,
+UDP monitor round trip."""
+
+import json
+import math
+import socket
+
+import numpy as np
+
+from gnss_sdr_tpu.monitor import (
+    GeoJsonWriter,
+    GpxWriter,
+    KmlWriter,
+    TrackingDump,
+    UdpMonitor,
+    nmea_gga,
+    nmea_rmc,
+)
+from gnss_sdr_tpu.tracking.channels import PeriodOutput
+
+
+def _fake_period(prn=7, ch=0):
+    return PeriodOutput(
+        channel=ch, prn=prn, sample_start=123456, length=4000,
+        rem_code_phase_samples=0.25, prompt=complex(4000.0, -30.0),
+        corr=np.array([2800 + 10j, 4000 - 30j, 2790 - 5j]),
+        carrier_doppler_hz=1234.5, code_freq_chips=1023001.2,
+        acc_carrier_phase_rad=-9876.5, cn0_db_hz=44.5,
+        carrier_lock_test=0.93, evm=0.21, loss_of_lock=False,
+    )
+
+
+def test_nmea_checksum_and_format():
+    s = nmea_gga(math.radians(41.275), math.radians(1.9876), 80.0, 7, 1.2)
+    assert s.startswith("$GPGGA,") and s.endswith("\r\n")
+    body, csum = s[1:].rsplit("*", 1)
+    calc = 0
+    for ch in body:
+        calc ^= ord(ch)
+    assert int(csum.strip(), 16) == calc
+    assert ",N," in s and ",E," in s
+    r = nmea_rmc(math.radians(-33.9), math.radians(-70.1), 5.0, 90.0)
+    assert ",S," in r and ",W," in r
+
+
+def test_track_writers(tmp_path):
+    fixes = [(math.radians(41.0 + i * 1e-5), math.radians(2.0), 50.0 + i)
+             for i in range(3)]
+    for cls, name in ((KmlWriter, "t.kml"), (GpxWriter, "t.gpx"),
+                      (GeoJsonWriter, "t.geojson")):
+        w = cls(tmp_path / name)
+        for lat, lon, h in fixes:
+            w.add_fix(lat, lon, h)
+        path = w.close()
+        text = open(path).read()
+        assert "41.0" in text
+    gj = json.loads(open(tmp_path / "t.geojson").read())
+    assert gj["geometry"]["type"] == "LineString"
+    assert len(gj["geometry"]["coordinates"]) == 3
+
+
+def test_tracking_dump(tmp_path):
+    dump = TrackingDump()
+    for _ in range(5):
+        dump.append(_fake_period())
+    arrays = dump.arrays()
+    assert arrays["Prompt_I"].shape == (5,)
+    assert arrays["abs_P"][0] > 0
+    dump.save_npz(tmp_path / "trk.npz")
+    dump.save_mat(tmp_path / "trk.mat")
+    loaded = np.load(tmp_path / "trk.npz")
+    assert loaded["CN0_SNV_dB_Hz"][0] == 44.5
+    from scipy import io as sp_io
+
+    mat = sp_io.loadmat(tmp_path / "trk.mat")
+    assert mat["carrier_doppler_hz"].flatten()[0] == np.float64(1234.5)
+
+
+def test_udp_monitor_roundtrip():
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    mon = UdpMonitor("127.0.0.1", port)
+    mon.send_observables([_fake_period()])
+    data, _ = rx.recvfrom(65536)
+    rows = json.loads(data)
+    assert rows[0]["PRN"] == 7 and rows[0]["CN0_dB_hz"] == 44.5
+    mon.close()
+    rx.close()
