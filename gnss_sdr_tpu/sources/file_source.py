@@ -76,6 +76,23 @@ class FileSignalSource:
             return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
         return raw.astype(np.float32).astype(np.complex64)
 
+    def read_planar(self, offset: int = 0, count: int | None = None):
+        """Read directly to planar (re, im) float32 via the native ingest
+        kernels (gnss_sdr_tpu.native) — the zero-copy-to-device path."""
+        from gnss_sdr_tpu import native
+
+        if count is None:
+            count = self.n_samples - offset
+        count = max(0, min(count, self.n_samples - offset))
+        start = (self._skip_samples + offset) * self._per_sample
+        raw = np.fromfile(
+            self.filename, dtype=self._dtype,
+            count=count * self._per_sample, offset=start * self._dtype.itemsize,
+        )
+        if self._per_sample == 2:
+            return native.interleaved_to_planar(raw)
+        return native.real_to_planar(raw)
+
     # -- reading ----------------------------------------------------------
     def read(self, offset: int = 0, count: int | None = None) -> np.ndarray:
         """Read ``count`` complex samples starting at sample ``offset``."""
