@@ -1,0 +1,53 @@
+"""Data-bit boundary synchronization (host-side).
+
+Counterpart of the reference's symbol-synchronization logic in tracking
+state 2 (dll_pll_veml_tracking.cc:1845-1986): watches prompt-sign
+transitions; when several consecutive transitions agree on the same
+phase modulo symbols_per_bit, the bit boundary is declared. The receiver
+then flips the channel into extended coherent integration aligned to it.
+"""
+
+from __future__ import annotations
+
+
+class BitSync:
+    def __init__(self, symbols_per_bit: int = 20, required: int = 8):
+        self.spb = symbols_per_bit
+        self.required = required
+        self.count = 0
+        self._last_sign = 0.0
+        self._votes = [0] * symbols_per_bit  # histogram over phases
+        self.bit_phase: int | None = None  # period index mod spb of boundary
+
+    @property
+    def synced(self) -> bool:
+        return self.bit_phase is not None
+
+    def feed(self, prompt_i: float) -> bool:
+        """One prompt per code period; returns True when sync is achieved
+        on this symbol.
+
+        Histogram voting: every sign transition votes for its phase; sync
+        when the leading phase has ``required`` votes and a 2x margin over
+        the runner-up (robust at low C/N0 where noise adds spurious
+        transitions at random phases)."""
+        idx = self.count
+        self.count += 1
+        sign = 1.0 if prompt_i >= 0 else -1.0
+        if self._last_sign != 0.0 and sign != self._last_sign \
+                and not self.synced:
+            self._votes[idx % self.spb] += 1
+            ranked = sorted(self._votes, reverse=True)
+            if ranked[0] >= self.required and ranked[0] >= 2 * (ranked[1] + 1):
+                self.bit_phase = int(max(range(self.spb),
+                                         key=self._votes.__getitem__))
+                self._last_sign = sign
+                return True
+        self._last_sign = sign
+        return False
+
+    def periods_into_bit(self, next_period_index: int) -> int:
+        """How many periods of the current bit have elapsed before the
+        period with the given index."""
+        assert self.bit_phase is not None
+        return (next_period_index - self.bit_phase) % self.spb

@@ -92,6 +92,12 @@ class TrackingChannels:
         self.state = self.engine.stop_channel(self.state, ch)
         self.prn[ch] = 0
 
+    def enable_extended(self, ch: int, periods_into_group: int = 0) -> None:
+        """Enable extended coherent integration for a channel (host-side
+        state-machine decision after bit sync)."""
+        self.state = self.engine.set_extended(
+            self.state, ch, periods_into_group)
+
     @property
     def active_mask(self) -> np.ndarray:
         return np.asarray(self.state.active)

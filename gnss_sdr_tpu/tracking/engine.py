@@ -79,6 +79,8 @@ class TrackingConfig:
     y_intercept: float = 1.0
     carrier_aiding: bool = True
     extend_correlation_symbols: int = 1
+    pll_bw_narrow_hz: float = 5.0
+    dll_bw_narrow_hz: float = 0.75
     # lock detection
     cn0_samples: int = 20
     cn0_min: float = 25.0
@@ -139,6 +141,10 @@ class TrackState(NamedTuple):
     carrier_lock_fail: jax.Array   # int32
     loss_of_lock: jax.Array        # bool
     step_count: jax.Array          # int32: periods since channel start
+    extended: jax.Array            # bool: extended coherent integration on
+    accu_count: jax.Array          # int32: periods accumulated so far
+    accu_re: jax.Array             # f32 [C, T]: coherent accumulator
+    accu_im: jax.Array             # f32 [C, T]
 
 
 class TrackingEngine:
@@ -165,15 +171,23 @@ class TrackingEngine:
             cfg.fll_bw_hz, cfg.pll_bw_hz, cfg.pll_filter_order
         )
         ic, oc = lf.loop_filter_coefficients(
-            cfg.code_period_s * cfg.extend_correlation_symbols,
-            cfg.dll_bw_hz, cfg.dll_filter_order, include_last_integrator=False,
+            cfg.code_period_s, cfg.dll_bw_hz, cfg.dll_filter_order,
+            include_last_integrator=False,
         )
         self._dll_ic = jnp.asarray(ic)
         self._dll_oc = jnp.asarray(oc)
-        self._pull_in_steps = int(
-            cfg.pull_in_time_s / (cfg.code_period_s
-                                  * cfg.extend_correlation_symbols)
+        ic_n, oc_n = lf.loop_filter_coefficients(
+            cfg.code_period_s * cfg.extend_correlation_symbols,
+            cfg.dll_bw_narrow_hz, cfg.dll_filter_order,
+            include_last_integrator=False,
         )
+        self._dll_ic_narrow = jnp.asarray(ic_n)
+        self._dll_oc_narrow = jnp.asarray(oc_n)
+        self._gains_narrow = lf.FllPllGains.make(
+            cfg.fll_bw_hz, cfg.pll_bw_narrow_hz, cfg.pll_filter_order
+        )
+        # pull-in transitory is counted in (wide-mode) PRN periods
+        self._pull_in_steps = int(cfg.pull_in_time_s / cfg.code_period_s)
         single, multi = self._build_block_step()
         self._block_step = jax.jit(single, donate_argnums=(0,))
         # superblock: K blocks per device call (amortizes dispatch latency;
@@ -208,6 +222,9 @@ class TrackingEngine:
             prompt_count=i32(), cn0_db_hz=f32(), carrier_lock_test=f32(),
             evm=f32(), code_lock_fail=i32(), carrier_lock_fail=i32(),
             loss_of_lock=jnp.zeros((c,), dtype=bool), step_count=i32(),
+            extended=jnp.zeros((c,), dtype=bool), accu_count=i32(),
+            accu_re=jnp.zeros((c, self.cfg.n_taps), dtype=jnp.float32),
+            accu_im=jnp.zeros((c, self.cfg.n_taps), dtype=jnp.float32),
         )
 
     def start_channel(
@@ -257,10 +274,42 @@ class TrackingEngine:
             carrier_lock_fail=state.carrier_lock_fail.at[ch].set(0),
             loss_of_lock=state.loss_of_lock.at[ch].set(False),
             step_count=state.step_count.at[ch].set(0),
+            extended=state.extended.at[ch].set(False),
+            accu_count=state.accu_count.at[ch].set(0),
+            accu_re=state.accu_re.at[ch].set(0.0),
+            accu_im=state.accu_im.at[ch].set(0.0),
         )
 
     def stop_channel(self, state: TrackState, ch: int) -> TrackState:
         return state._replace(active=state.active.at[ch].set(False))
+
+    def set_extended(self, state: TrackState, ch: int,
+                     periods_into_group: int = 0) -> TrackState:
+        """Switch a channel into extended coherent integration (the
+        reference's state-2 -> state-3 transition after bit/secondary
+        sync, dll_pll_veml_tracking.cc:1845-2028). ``periods_into_group``
+        aligns the K-period accumulation groups with bit boundaries: it is
+        how many periods of the current bit have already elapsed.
+
+        The carrier loop filter is reinitialized from the current Doppler
+        (as the reference does when re-parameterizing the loops): carrying
+        the wide loop's integrator state into the narrow-bandwidth loop
+        injects a slow multi-second transient."""
+        doppler = state.carrier_doppler_hz[ch]
+        if self._gains_narrow.order == 3:
+            w0 = jnp.float32(0.0)
+            x0 = 2.0 * doppler
+        else:
+            w0 = doppler
+            x0 = jnp.float32(0.0)
+        return state._replace(
+            extended=state.extended.at[ch].set(True),
+            accu_count=state.accu_count.at[ch].set(int(periods_into_group)),
+            accu_re=state.accu_re.at[ch].set(0.0),
+            accu_im=state.accu_im.at[ch].set(0.0),
+            carr_w=state.carr_w.at[ch].set(w0),
+            carr_x=state.carr_x.at[ch].set(x0),
+        )
 
     # -- device program ----------------------------------------------------
     def _build_block_step(self):
@@ -270,11 +319,14 @@ class TrackingEngine:
         code_len_chips = jnp.float32(cfg.code_length_chips)
         cspc = jnp.float32(cfg.code_samples_per_chip)
         carrier_hz = jnp.float32(cfg.carrier_hz)
-        t_nominal = jnp.float32(cfg.code_period_s
-                                * cfg.extend_correlation_symbols)
+        # one PRN period (wide mode); extended mode scales by k_ext at use
+        t_nominal = jnp.float32(cfg.code_period_s)
         shifts = self._shifts
         gains = self._gains
+        gains_n = self._gains_narrow
         dll_ic, dll_oc = self._dll_ic, self._dll_oc
+        dll_ic_n, dll_oc_n = self._dll_ic_narrow, self._dll_oc_narrow
+        k_ext = max(1, cfg.extend_correlation_symbols)
         block_samples = self.block_samples
         total = self.block_samples + self.overlap
         max_period = self.max_period
@@ -303,10 +355,25 @@ class TrackingEngine:
             p_re = corr_re[:, prompt_tap]
             p_im = corr_im[:, prompt_tap]
 
+            # ---- extended coherent integration (states 3/4,
+            #      dll_pll_veml_tracking.cc:1989-2028) ---------------------
+            # accumulate correlators across K periods; run the loops every
+            # period in wide mode, every K-th period in extended mode
+            accu_re = s.accu_re + corr_re
+            accu_im = s.accu_im + corr_im
+            accu_count = s.accu_count + 1
+            run_loops = (~s.extended) | (accu_count >= k_ext)
+            eff_re = jnp.where(s.extended[:, None], accu_re, corr_re)
+            eff_im = jnp.where(s.extended[:, None], accu_im, corr_im)
+            ep_re = eff_re[:, prompt_tap]
+            ep_im = eff_im[:, prompt_tap]
+            t_eff = jnp.where(s.extended, t_nominal * k_ext, t_nominal)
+
             # ---- run_dll_pll (dll_pll_veml_tracking.cc:1092-1213) -------
-            pll_disc_hz = disc.pll_cloop_two_quadrant_atan(p_re, p_im) / TWO_PI
+            pll_disc_hz = disc.pll_cloop_two_quadrant_atan(ep_re, ep_im) \
+                / TWO_PI
             fll_disc_hz = disc.fll_diff_atan(
-                s.p_old_re, s.p_old_im, p_re, p_im, 0.0, t_nominal) / TWO_PI
+                s.p_old_re, s.p_old_im, ep_re, ep_im, 0.0, t_eff) / TWO_PI
             pull_in = s.step_count < pull_in_steps
             if cfg.enable_fll_pull_in or cfg.enable_fll_steady_state:
                 use_fll = (pull_in & cfg.enable_fll_pull_in) \
@@ -318,25 +385,55 @@ class TrackingEngine:
             else:
                 fll_eff = jnp.zeros_like(fll_disc_hz)
                 pll_eff = pll_disc_hz
-            (carr_w, carr_x), carr_err_hz = lf.fll_pll_step(
-                (s.carr_w, s.carr_x), fll_eff, pll_eff, t_nominal, gains
+            # wide vs narrow carrier loop gains selected per channel
+            import types as _types
+            g_eff = _types.SimpleNamespace(
+                order=gains.order,
+                pll_w0p=jnp.where(s.extended, gains_n.pll_w0p, gains.pll_w0p),
+                pll_w0p2=jnp.where(s.extended, gains_n.pll_w0p2,
+                                   gains.pll_w0p2),
+                pll_w0p3=jnp.where(s.extended, gains_n.pll_w0p3,
+                                   gains.pll_w0p3),
+                pll_w0f=jnp.where(s.extended, gains_n.pll_w0f, gains.pll_w0f),
+                pll_w0f2=jnp.where(s.extended, gains_n.pll_w0f2,
+                                   gains.pll_w0f2),
+                pll_a2=gains.pll_a2, pll_a3=gains.pll_a3, pll_b3=gains.pll_b3,
             )
-            carrier_doppler = carr_err_hz
+            (carr_w_new, carr_x_new), carr_err_hz = lf.fll_pll_step(
+                (s.carr_w, s.carr_x), fll_eff, pll_eff, t_eff, g_eff
+            )
+            carr_w = jnp.where(run_loops, carr_w_new, s.carr_w)
+            carr_x = jnp.where(run_loops, carr_x_new, s.carr_x)
+            carrier_doppler = jnp.where(run_loops, carr_err_hz,
+                                        s.carrier_doppler_hz)
 
             if cfg.veml:
                 dll_disc = disc.dll_nc_vemlp_normalized(
-                    corr_re[:, 0], corr_im[:, 0], corr_re[:, 1], corr_im[:, 1],
-                    corr_re[:, 3], corr_im[:, 3], corr_re[:, 4], corr_im[:, 4])
+                    eff_re[:, 0], eff_im[:, 0], eff_re[:, 1], eff_im[:, 1],
+                    eff_re[:, 3], eff_im[:, 3], eff_re[:, 4], eff_im[:, 4])
             else:
                 dll_disc = disc.dll_nc_e_minus_l_normalized(
-                    corr_re[:, 0], corr_im[:, 0], corr_re[:, 2], corr_im[:, 2],
+                    eff_re[:, 0], eff_im[:, 0], eff_re[:, 2], eff_im[:, 2],
                     cfg.spc, cfg.slope, cfg.y_intercept)
-            (code_x_hist, code_y_hist), code_err_filt = lf.iir_step(
-                (s.code_x_hist, s.code_y_hist), dll_disc, dll_ic, dll_oc
+            ic_eff = jnp.where(s.extended[:, None], dll_ic_n, dll_ic)
+            oc_eff = jnp.where(s.extended[:, None], dll_oc_n, dll_oc)
+            (code_x_new, code_y_new), code_err_filt = lf.iir_step(
+                (s.code_x_hist, s.code_y_hist), dll_disc, ic_eff, oc_eff
             )
-            code_freq = chip_rate - code_err_filt
+            code_x_hist = jnp.where(run_loops[:, None], code_x_new,
+                                    s.code_x_hist)
+            code_y_hist = jnp.where(run_loops[:, None], code_y_new,
+                                    s.code_y_hist)
+            code_freq_new = chip_rate - code_err_filt
             if cfg.carrier_aiding:
-                code_freq = code_freq + carrier_doppler * chip_rate / carrier_hz
+                code_freq_new = code_freq_new \
+                    + carrier_doppler * chip_rate / carrier_hz
+            code_freq = jnp.where(run_loops, code_freq_new, s.code_freq_chips)
+            # reset the accumulator after a loop update
+            clear = run_loops & s.extended
+            accu_re = jnp.where(clear[:, None], 0.0, accu_re)
+            accu_im = jnp.where(clear[:, None], 0.0, accu_im)
+            accu_count = jnp.where(run_loops, 0, accu_count)
 
             # ---- update_tracking_vars (:1216-1288) ----------------------
             t_prn_samples = code_len_chips / (code_freq / fs)
@@ -351,33 +448,42 @@ class TrackingEngine:
             rem_code_chips = code_freq * rem_code_samples / fs * cspc
 
             # ---- cn0_and_tracking_lock_status (:970-1062) ---------------
-            prompt_buf_re = jnp.concatenate(
-                [p_re[:, None], s.prompt_buf_re[:, :-1]], axis=1)
-            prompt_buf_im = jnp.concatenate(
-                [p_im[:, None], s.prompt_buf_im[:, :-1]], axis=1)
+            # the prompt buffer collects one entry per loop update (per
+            # period in wide mode, per K periods in extended mode)
+            prompt_buf_re = jnp.where(
+                run_loops[:, None],
+                jnp.concatenate([ep_re[:, None], s.prompt_buf_re[:, :-1]],
+                                axis=1),
+                s.prompt_buf_re)
+            prompt_buf_im = jnp.where(
+                run_loops[:, None],
+                jnp.concatenate([ep_im[:, None], s.prompt_buf_im[:, :-1]],
+                                axis=1),
+                s.prompt_buf_im)
             count_pre = s.prompt_count
             have_cn0 = count_pre >= cfg.cn0_samples
             first_cn0 = count_pre == cfg.cn0_samples
-            prompt_count = jnp.minimum(count_pre + 1, cfg.cn0_samples + 1)
+            prompt_count = jnp.minimum(
+                count_pre + run_loops.astype(jnp.int32), cfg.cn0_samples + 1)
 
             cn0_raw = lockdet.cn0_m2m4_estimator(
-                prompt_buf_re, prompt_buf_im, t_nominal)
+                prompt_buf_re, prompt_buf_im, t_eff)
             a = jnp.float32(cfg.cn0_smoother_alpha)
             cn0_s = jnp.where(
-                have_cn0,
+                have_cn0 & run_loops,
                 jnp.where(first_cn0, cn0_raw,
                           a * cn0_raw + (1 - a) * s.cn0_db_hz),
                 s.cn0_db_hz)
             lock_raw = lockdet.carrier_lock_detector(
-                p_re[:, None], p_im[:, None])
+                ep_re[:, None], ep_im[:, None])
             al = jnp.float32(cfg.carrier_lock_test_smoother_alpha)
             lock_s = jnp.where(
-                have_cn0,
+                have_cn0 & run_loops,
                 jnp.where(first_cn0, lock_raw,
                           al * lock_raw + (1 - al) * s.carrier_lock_test),
                 s.carrier_lock_test)
 
-            count_locks = have_cn0 & (~pull_in)
+            count_locks = have_cn0 & (~pull_in) & run_loops
             carrier_fail = jnp.where(
                 count_locks & (lock_s < cfg.carrier_lock_th),
                 s.carrier_lock_fail + 1,
@@ -412,13 +518,17 @@ class TrackingEngine:
                 code_phase_step_chips=code_step,
                 carr_w=carr_w, carr_x=carr_x,
                 code_x_hist=code_x_hist, code_y_hist=code_y_hist,
-                p_old_re=p_re, p_old_im=p_im,
+                p_old_re=jnp.where(run_loops, ep_re, s.p_old_re),
+                p_old_im=jnp.where(run_loops, ep_im, s.p_old_im),
                 prompt_buf_re=prompt_buf_re, prompt_buf_im=prompt_buf_im,
                 prompt_count=prompt_count,
                 cn0_db_hz=cn0_s, carrier_lock_test=lock_s, evm=evm,
                 code_lock_fail=code_fail, carrier_lock_fail=carrier_fail,
                 loss_of_lock=s.loss_of_lock | (loss & s.active),
                 step_count=s.step_count + 1,
+                extended=s.extended,
+                accu_count=accu_count,
+                accu_re=accu_re, accu_im=accu_im,
             )
 
             def sel(a_new, a_old):
