@@ -25,20 +25,32 @@ SIM_SECONDS_PER_REP = 1.0
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the tunneled TPU backend compiles remotely
+    # (minutes per program); caching makes repeat runs near-instant
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from gnss_sdr_tpu.acquisition.adapters import make_gps_l1ca_acquisition
     from gnss_sdr_tpu.acquisition.pcps import _pcps_magnitude_grid
     from gnss_sdr_tpu.codes import gps_l1ca_code
     from gnss_sdr_tpu.simulate import SatelliteParams, generate_gps_l1ca
-    from gnss_sdr_tpu.tracking import TrackingConfig, TrackingEngine
+    from gnss_sdr_tpu.tracking import TrackingConfig
+    from gnss_sdr_tpu.tracking.fast_engine import FastTrackingEngine
 
-    block_samples = int(FS * BLOCK_MS * 1e-3)
-    blocks_per_rep = int(SIM_SECONDS_PER_REP * 1000 / BLOCK_MS)
-
-    # --- build engines ----------------------------------------------------
-    cfg = TrackingConfig(fs=FS)
-    engine = TrackingEngine(cfg, N_CHANNELS, block_samples)
+    # steady-state production path: extended coherent integration (20 ms
+    # groups) on the group-batched engine; the scan engine only handles
+    # pull-in transients, which are not the steady-state rate
+    cfg = TrackingConfig(fs=FS, extend_correlation_symbols=20,
+                         pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75)
+    engine = FastTrackingEngine(cfg, N_CHANNELS, groups_per_block=5)
+    block_samples = engine.block_samples           # 100 ms at 4 Msps
+    blocks_per_rep = int(SIM_SECONDS_PER_REP * FS / block_samples)
     prns = list(range(1, N_CHANNELS + 1))
     acq = make_gps_l1ca_acquisition(prns, FS, doppler_max=5000,
                                     doppler_step=250, pfa=0.001)
@@ -48,7 +60,8 @@ def main() -> None:
                             delay_samples=137.0 * p,
                             doppler_hz=250.0 * p - 1500.0)
             for p in prns[:4]]
-    sig = generate_gps_l1ca(sats, FS, 2 * BLOCK_MS * 1e-3 + 0.002, seed=0)
+    sig_s = (2 * block_samples + engine.overlap) / FS + 0.001
+    sig = generate_gps_l1ca(sats, FS, sig_s, seed=0)
     n_in = block_samples + engine.overlap
 
     def planar(seg):
@@ -64,7 +77,7 @@ def main() -> None:
     for ch in range(N_CHANNELS):
         state = engine.start_channel(
             state, ch, doppler_hz=250.0 * ch - 1500.0,
-            offset_samples=37 * ch, cur_len=cfg.samples_per_code)
+            offset_samples=37 * ch)
 
     acq_x = planar(sig[:acq.cfg.fft_size])
     acq_dopp = acq._dopplers

@@ -1,0 +1,249 @@
+"""Multi-constellation (multi-band) receiver.
+
+The hybrid-receiver capability of the reference (GNSSFlowgraph wiring N
+channels of several signals into one observables/PVT chain — BASELINE
+config 4): each band (GPS L1 C/A "1C", Galileo E1-B "1B") gets its own
+batched acquisition engine, tracking-channel engine and telemetry
+decoders; a single common-reception-time observables engine and one PVT
+solver fuse all bands' measurements (GST and GPS time are taken as
+aligned; the inter-constellation bias is absorbed by the solver clock for
+simulation scenes and would become an extra unknown with real data).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+
+import numpy as np
+
+from gnss_sdr_tpu.acquisition.adapters import (
+    make_galileo_e1_acquisition,
+    make_gps_l1ca_acquisition,
+)
+from gnss_sdr_tpu.codes import gps_l1ca_code
+from gnss_sdr_tpu.codes.galileo_e1 import galileo_e1_subchips
+from gnss_sdr_tpu.observables import ObservablesEngine
+from gnss_sdr_tpu.pvt import GpsEphemeris, PvtSolution, solve_pvt
+from gnss_sdr_tpu.pvt.solver import Observation
+from gnss_sdr_tpu.receiver.fsm import ChannelFsm, ChannelState
+from gnss_sdr_tpu.telemetry import GpsLnavDecoder
+from gnss_sdr_tpu.telemetry.galileo_inav import (
+    GalileoInavDecoder,
+    galileo_ephemeris_from_inav,
+)
+from gnss_sdr_tpu.tracking import TrackingConfig
+from gnss_sdr_tpu.tracking.channels import TrackingChannels
+
+
+@dataclasses.dataclass
+class BandConfig:
+    suffix: str                  # "1C" or "1B"
+    satellites: list[int] = dataclasses.field(default_factory=list)
+    n_channels: int = 4
+    doppler_max: float = 5000.0
+    doppler_step: float = 250.0
+    acq_pfa: float = 0.001
+    acq_dwells: int = 2
+    pll_bw_hz: float = 35.0
+    dll_bw_hz: float = 2.0
+    enable_fll_pull_in: bool = True
+    fll_bw_hz: float = 35.0
+    pull_in_time_s: float = 0.5
+    early_late_space_chips: float = 0.5
+
+
+@dataclasses.dataclass
+class MultiBandConfig:
+    fs: float = 5.0e6
+    block_ms: int = 20
+    interval_ms: int = 20
+    output_rate_ms: int = 100
+    apply_tropo: bool = False
+    enable_carrier_smoothing: bool = False
+    smoothing_factor: int = 200
+
+
+class _Band:
+    def __init__(self, cfg: BandConfig, fs: float, block_samples: int,
+                 ch_offset: int):
+        self.cfg = cfg
+        self.ch_offset = ch_offset
+        self.sat_pool = collections.deque(cfg.satellites)
+        self.fsms = [ChannelFsm(ch_offset + i) for i in range(cfg.n_channels)]
+        sx = cfg.suffix
+        if sx == "1C":
+            self.system = "G"
+            self.period_ms = 1.0
+            self.acq = make_gps_l1ca_acquisition(
+                sorted(cfg.satellites), fs, doppler_max=cfg.doppler_max,
+                doppler_step=cfg.doppler_step, pfa=cfg.acq_pfa,
+                max_dwells=cfg.acq_dwells)
+            trk = TrackingConfig(
+                fs=fs, pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=cfg.early_late_space_chips)
+            self.code_table = lambda prn: np.asarray(
+                gps_l1ca_code(prn), dtype=np.float32)
+            self.new_decoder = GpsLnavDecoder
+        elif sx == "1B":
+            self.system = "E"
+            self.period_ms = 4.0
+            self.acq = make_galileo_e1_acquisition(
+                sorted(cfg.satellites), fs, doppler_max=cfg.doppler_max,
+                doppler_step=min(cfg.doppler_step, 125.0), pfa=cfg.acq_pfa,
+                max_dwells=cfg.acq_dwells)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=4092, chip_rate_cps=1.023e6,
+                code_samples_per_chip=12, veml=True, symbols_per_bit=1,
+                pll_bw_hz=min(cfg.pll_bw_hz, 20.0), dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=0.15,
+                very_early_late_space_chips=0.6)
+            self.code_table = lambda prn: galileo_e1_subchips(prn, "B", True)
+            self.new_decoder = GalileoInavDecoder
+        else:
+            raise ValueError(f"unsupported band suffix {sx!r}")
+        self.tracking = TrackingChannels(trk, cfg.n_channels, block_samples)
+        self.decoders = [self.new_decoder() for _ in range(cfg.n_channels)]
+
+    def make_ephemeris(self, prn: int, decoder) -> GpsEphemeris:
+        if self.system == "G":
+            return GpsEphemeris.from_fields(prn, decoder.ephemeris_fields)
+        return galileo_ephemeris_from_inav(prn, decoder.ephemeris_fields)
+
+
+class MultiBandReceiver:
+    def __init__(self, cfg: MultiBandConfig, bands: list[BandConfig],
+                 assisted_ephemeris: dict[tuple[str, int], GpsEphemeris]
+                 | None = None):
+        self.cfg = cfg
+        self.block_samples = int(round(cfg.fs * cfg.block_ms * 1e-3))
+        self.bands: list[_Band] = []
+        offset = 0
+        for b in bands:
+            band = _Band(b, cfg.fs, self.block_samples, offset)
+            self.bands.append(band)
+            offset += b.n_channels
+        self.total_channels = offset
+        self.observables = ObservablesEngine(
+            cfg.fs, cfg.interval_ms, self.total_channels,
+            enable_carrier_smoothing=cfg.enable_carrier_smoothing,
+            smoothing_factor=cfg.smoothing_factor)
+        self.ephemerides: dict[tuple[str, int], GpsEphemeris] = dict(
+            assisted_ephemeris or {})
+        self.solutions: list[PvtSolution] = []
+        self._last_solve_tow_ms: float | None = None
+        self._overlap = max(b.tracking.overlap for b in self.bands)
+        self._chan_sat: dict[int, tuple[str, int]] = {}
+
+    @property
+    def overlap(self) -> int:
+        return self._overlap
+
+    def channel_states(self):
+        return [f.state for band in self.bands for f in band.fsms]
+
+    def run(self, samples: np.ndarray) -> list[PvtSolution]:
+        n_blocks = (len(samples) - self._overlap) // self.block_samples
+        for k in range(n_blocks):
+            lo = k * self.block_samples
+            self.process_block(
+                samples[lo: lo + self.block_samples + self._overlap])
+        return self.solutions
+
+    def process_block(self, block: np.ndarray) -> list[PvtSolution]:
+        for band in self.bands:
+            self._manage_acquisition(band, block)
+            per_channel = band.tracking.process_block(
+                block[: self.block_samples + band.tracking.overlap])
+            self._feed_band(band, per_channel)
+        return self._run_pvt()
+
+    # -- per-band control (mirrors Receiver) ------------------------------
+    def _manage_acquisition(self, band: _Band, block: np.ndarray) -> None:
+        for fsm in band.fsms:
+            if fsm.state is ChannelState.STANDBY and band.sat_pool:
+                fsm.start_acquisition(band.sat_pool.popleft())
+            elif fsm.state is ChannelState.ACQUISITION and fsm.prn == 0 \
+                    and band.sat_pool:
+                fsm.prn = band.sat_pool.popleft()
+        searching = {f.prn: f for f in band.fsms
+                     if f.state is ChannelState.ACQUISITION and f.prn != 0}
+        if not searching:
+            return
+        needed = band.acq.cfg.consumed_samples * band.acq.cfg.max_dwells
+        stamp = band.tracking.abs_block_start
+        results = band.acq.search(np.asarray(block[:needed]),
+                                  samplestamp=stamp)
+        for prn, fsm in searching.items():
+            res = results.get(prn)
+            if res is not None and res.positive:
+                fsm.valid_acquisition()
+                local_ch = fsm.channel_id - band.ch_offset
+                band.tracking.start_channel(
+                    local_ch, prn, band.code_table(prn),
+                    res.delay_samples, res.doppler_hz,
+                    res.samplestamp_samples)
+                band.decoders[local_ch] = band.new_decoder()
+                self.observables.reset_channel(fsm.channel_id)
+                self._chan_sat[fsm.channel_id] = (band.system, prn)
+
+    def _feed_band(self, band: _Band, per_channel) -> None:
+        for local_ch, periods in enumerate(per_channel):
+            fsm = band.fsms[local_ch]
+            if fsm.state is not ChannelState.TRACKING:
+                continue
+            gch = fsm.channel_id
+            dec = band.decoders[local_ch]
+            for p in periods:
+                if p.loss_of_lock:
+                    prn = fsm.loss_of_lock()
+                    if prn:
+                        band.sat_pool.append(prn)
+                    band.tracking.stop_channel(local_ch)
+                    self.observables.reset_channel(gch)
+                    self._chan_sat.pop(gch, None)
+                    break
+                dec.feed(p.prompt.real, p.sample_start + p.length)
+                if dec.tow_at_last_symbol_ms is not None:
+                    boundary = p.sample_start + p.rem_code_phase_samples
+                    tow = dec.tow_at_last_symbol_ms - band.period_ms
+                    self.observables.add_anchor(
+                        gch, boundary, tow, p.carrier_doppler_hz,
+                        p.acc_carrier_phase_rad, p.cn0_db_hz)
+            key = (band.system, fsm.prn)
+            if dec.has_full_ephemeris() and key not in self.ephemerides:
+                self.ephemerides[key] = band.make_ephemeris(fsm.prn, dec)
+
+    def _run_pvt(self) -> list[PvtSolution]:
+        limit = min(b.tracking.abs_block_start for b in self.bands) \
+            - 2 * max(b.tracking.engine.max_period for b in self.bands)
+        new = []
+        for rows in self.observables.epochs_until(limit):
+            rx_tow_ms = rows[0].rx_tow_ms
+            if self._last_solve_tow_ms is not None and \
+                    rx_tow_ms - self._last_solve_tow_ms \
+                    < self.cfg.output_rate_ms:
+                continue
+            obs = []
+            for row in rows:
+                key = self._chan_sat.get(row.channel)
+                if key is None or key not in self.ephemerides:
+                    continue
+                row.prn = key[1]
+                obs.append(Observation(
+                    prn=key[1], pseudorange_m=row.pseudorange_m,
+                    eph=self.ephemerides[key], doppler_hz=row.doppler_hz,
+                    cn0_db_hz=row.cn0_db_hz))
+            if len(obs) < 4:
+                continue
+            sol = solve_pvt(obs, rx_tow_ms * 1e-3,
+                            apply_tropo=self.cfg.apply_tropo)
+            if sol.valid:
+                self._last_solve_tow_ms = rx_tow_ms
+                self.solutions.append(sol)
+                new.append(sol)
+        return new

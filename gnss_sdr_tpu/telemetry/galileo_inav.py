@@ -383,3 +383,31 @@ class GalileoInavDecoder:
         return all(k in f for k in
                    ("sqrt_a", "ecc", "m0_rad", "omega0_rad", "i0_rad",
                     "omega_rad", "af0", "toe_s"))
+
+
+def galileo_ephemeris_from_inav(prn: int, fields: dict):
+    """Map accumulated I/NAV word fields onto the shared Kepler ephemeris
+    container (Galileo_Ephemeris counterpart; GST == simulation time base;
+    the E1/E5b broadcast group delay BGD plays the TGD role for E1
+    single-frequency users)."""
+    from gnss_sdr_tpu.pvt.ephemeris import GpsEphemeris
+
+    return GpsEphemeris(
+        prn=prn,
+        week_number=fields.get("week_number", 0),
+        iodc=fields.get("iod_nav", 0), iode=fields.get("iod_nav", 0),
+        toc_s=fields.get("toc_s", 0.0), af0=fields.get("af0", 0.0),
+        af1=fields.get("af1", 0.0), af2=fields.get("af2", 0.0),
+        tgd_s=fields.get("bgd_e1e5b_s", 0.0),
+        toe_s=fields.get("toe_s", 0.0), sqrt_a=fields.get("sqrt_a", 0.0),
+        ecc=fields.get("ecc", 0.0), m0_rad=fields.get("m0_rad", 0.0),
+        delta_n_rad_s=fields.get("delta_n_rad_s", 0.0),
+        omega0_rad=fields.get("omega0_rad", 0.0),
+        i0_rad=fields.get("i0_rad", 0.0),
+        omega_rad=fields.get("omega_rad", 0.0),
+        omega_dot_rad_s=fields.get("omega_dot_rad_s", 0.0),
+        idot_rad_s=fields.get("idot_rad_s", 0.0),
+        cuc_rad=fields.get("cuc_rad", 0.0), cus_rad=fields.get("cus_rad", 0.0),
+        crc_m=fields.get("crc_m", 0.0), crs_m=fields.get("crs_m", 0.0),
+        cic_rad=fields.get("cic_rad", 0.0), cis_rad=fields.get("cis_rad", 0.0),
+    )

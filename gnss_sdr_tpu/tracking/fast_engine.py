@@ -1,0 +1,379 @@
+"""Fast steady-state tracking engine: group-batched correlation.
+
+The scan engine (engine.py) mirrors the reference's per-PRN-period
+sequential pipeline exactly — necessary during pull-in and wide-band
+tracking, but latency-bound on TPU: ~1000 tiny scan steps per second of
+signal. In *extended coherent integration* (the production steady state,
+reference states 3/4), the loops close only once per K-period group, so
+NCO parameters are constant inside a group. That makes the heavy work
+embarrassingly parallel: all K periods of a group (and all channels)
+correlate in ONE batched gather+rotate+reduce, with closed-form period
+boundaries
+
+    boundary_k = offset + rem0 + k * T_prn_samples   (exact v1 carry math:
+    start_k = floor(boundary_k), rem_k = frac(boundary_k))
+
+and only a cheap per-group scalar scan closes the DLL/PLL. Per second of
+signal: ~50 loop steps instead of ~1000, with the same arithmetic as the
+scan engine's extended mode (loop filters, discriminators, C/N0 — shared
+ops modules).
+
+Use: pull in and bit-sync with TrackingEngine, then hand the channel
+state over (:func:`from_track_state`); the semantics match the scan
+engine's extended mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import types
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sdr_tpu.ops import discriminators as disc
+from gnss_sdr_tpu.ops import lock_detectors as lockdet
+from gnss_sdr_tpu.ops import loop_filters as lf
+from gnss_sdr_tpu.tracking.engine import TrackingConfig, TrackState
+
+TWO_PI = 2.0 * math.pi
+
+
+class FastState(NamedTuple):
+    """Per-channel carry for the group-batched engine ([C] leading dim)."""
+
+    active: jax.Array
+    offset: jax.Array              # int32 block-relative next group start
+    rem_code_phase_samples: jax.Array
+    rem_carr_phase_rad: jax.Array
+    carrier_doppler_hz: jax.Array
+    code_freq_chips: jax.Array
+    carr_w: jax.Array
+    carr_x: jax.Array
+    code_x_hist: jax.Array
+    code_y_hist: jax.Array
+    p_old_re: jax.Array
+    p_old_im: jax.Array
+    prompt_buf_re: jax.Array
+    prompt_buf_im: jax.Array
+    prompt_count: jax.Array
+    cn0_db_hz: jax.Array
+    carrier_lock_test: jax.Array
+    code_lock_fail: jax.Array
+    carrier_lock_fail: jax.Array
+    loss_of_lock: jax.Array
+
+
+class FastTrackingEngine:
+    """K-period group tracking over blocks of G groups.
+
+    ``block_samples`` must cover G groups: G*K*T_prn plus margin; blocks
+    overlap by ``overlap`` samples like the scan engine.
+    """
+
+    def __init__(self, cfg: TrackingConfig, n_channels: int,
+                 groups_per_block: int = 5):
+        if cfg.extend_correlation_symbols < 1:
+            raise ValueError("extend_correlation_symbols must be >= 1")
+        self.cfg = cfg
+        self.n_channels = n_channels
+        self.k = cfg.extend_correlation_symbols
+        self.g = groups_per_block
+        spc = cfg.samples_per_code
+        self.max_period = spc + 16
+        self.block_samples = self.g * self.k * spc
+        self.overlap = self.k * spc + self.max_period
+        self.n_taps = cfg.n_taps
+
+        self._shifts = jnp.asarray(cfg.tap_shifts())
+        self._gains = lf.FllPllGains.make(
+            cfg.fll_bw_hz, cfg.pll_bw_narrow_hz, cfg.pll_filter_order)
+        ic, oc = lf.loop_filter_coefficients(
+            cfg.code_period_s * self.k, cfg.dll_bw_narrow_hz,
+            cfg.dll_filter_order, include_last_integrator=False)
+        self._dll_ic = jnp.asarray(ic)
+        self._dll_oc = jnp.asarray(oc)
+        self._block_step = jax.jit(self._build(), donate_argnums=(0,))
+
+    # -- state ------------------------------------------------------------
+    def init_state(self) -> FastState:
+        c = self.n_channels
+        f32 = functools.partial(jnp.zeros, (c,), dtype=jnp.float32)
+        i32 = functools.partial(jnp.zeros, (c,), dtype=jnp.int32)
+        return FastState(
+            active=jnp.zeros((c,), dtype=bool), offset=i32(),
+            rem_code_phase_samples=f32(), rem_carr_phase_rad=f32(),
+            carrier_doppler_hz=f32(),
+            code_freq_chips=jnp.full((c,), self.cfg.chip_rate_cps,
+                                     dtype=jnp.float32),
+            carr_w=f32(), carr_x=f32(),
+            code_x_hist=jnp.zeros((c, lf.HISTORY), dtype=jnp.float32),
+            code_y_hist=jnp.zeros((c, lf.HISTORY - 1), dtype=jnp.float32),
+            p_old_re=f32(), p_old_im=f32(),
+            prompt_buf_re=jnp.zeros((c, self.cfg.cn0_samples),
+                                    dtype=jnp.float32),
+            prompt_buf_im=jnp.zeros((c, self.cfg.cn0_samples),
+                                    dtype=jnp.float32),
+            prompt_count=i32(), cn0_db_hz=f32(), carrier_lock_test=f32(),
+            code_lock_fail=i32(), carrier_lock_fail=i32(),
+            loss_of_lock=jnp.zeros((c,), dtype=bool),
+        )
+
+    def from_track_state(self, ts: TrackState) -> FastState:
+        """Adopt a scan-engine state (after pull-in + bit sync; channel
+        offsets must already be group/bit aligned)."""
+        if self._gains.order == 3:
+            w0 = jnp.zeros_like(ts.carrier_doppler_hz)
+            x0 = 2.0 * ts.carrier_doppler_hz
+        else:
+            w0 = ts.carrier_doppler_hz
+            x0 = jnp.zeros_like(ts.carrier_doppler_hz)
+        return FastState(
+            active=ts.active, offset=ts.offset,
+            rem_code_phase_samples=ts.rem_code_phase_samples,
+            rem_carr_phase_rad=ts.rem_carr_phase_rad,
+            carrier_doppler_hz=ts.carrier_doppler_hz,
+            code_freq_chips=ts.code_freq_chips,
+            carr_w=w0, carr_x=x0,
+            code_x_hist=ts.code_x_hist, code_y_hist=ts.code_y_hist,
+            p_old_re=ts.p_old_re, p_old_im=ts.p_old_im,
+            prompt_buf_re=ts.prompt_buf_re, prompt_buf_im=ts.prompt_buf_im,
+            prompt_count=ts.prompt_count, cn0_db_hz=ts.cn0_db_hz,
+            carrier_lock_test=ts.carrier_lock_test,
+            code_lock_fail=ts.code_lock_fail,
+            carrier_lock_fail=ts.carrier_lock_fail,
+            loss_of_lock=ts.loss_of_lock,
+        )
+
+    def start_channel(self, state: FastState, ch: int, doppler_hz: float,
+                      offset_samples: int) -> FastState:
+        cfg = self.cfg
+        if self._gains.order == 3:
+            w0, x0 = 0.0, 2.0 * doppler_hz
+        else:
+            w0, x0 = doppler_hz, 0.0
+        return state._replace(
+            active=state.active.at[ch].set(True),
+            offset=state.offset.at[ch].set(int(offset_samples)),
+            rem_code_phase_samples=state.rem_code_phase_samples.at[ch].set(0.0),
+            rem_carr_phase_rad=state.rem_carr_phase_rad.at[ch].set(0.0),
+            carrier_doppler_hz=state.carrier_doppler_hz.at[ch].set(doppler_hz),
+            code_freq_chips=state.code_freq_chips.at[ch].set(
+                cfg.chip_rate_cps),
+            carr_w=state.carr_w.at[ch].set(w0),
+            carr_x=state.carr_x.at[ch].set(x0),
+            loss_of_lock=state.loss_of_lock.at[ch].set(False),
+        )
+
+    # -- device program ----------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        k_ext = self.k
+        fs = jnp.float32(cfg.fs)
+        chip_rate = jnp.float32(cfg.chip_rate_cps)
+        code_len_chips = jnp.float32(cfg.code_length_chips)
+        cspc = jnp.float32(cfg.code_samples_per_chip)
+        carrier_hz = jnp.float32(cfg.carrier_hz)
+        t_group = jnp.float32(cfg.code_period_s * k_ext)
+        shifts = self._shifts
+        gains = self._gains
+        dll_ic, dll_oc = self._dll_ic, self._dll_oc
+        L = self.max_period
+        block_samples = self.block_samples
+        total = block_samples + self.overlap
+        n_taps = self.n_taps
+        prompt_tap = n_taps // 2
+        code_table_len = cfg.code_length_chips * cfg.code_samples_per_chip
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        def group_body(carry, _, block_re, block_im, code_tables):
+            s: FastState = carry
+            process = s.active & (s.offset < block_samples) \
+                & (~s.loss_of_lock)
+
+            # closed-form period boundaries for this group
+            t_prn_samples = code_len_chips / (s.code_freq_chips / fs)  # [C]
+            kk = jnp.arange(k_ext, dtype=jnp.float32)                  # [K]
+            boundary = (s.offset.astype(jnp.float32)
+                        + s.rem_code_phase_samples)[:, None] \
+                + kk[None, :] * t_prn_samples[:, None]                 # [C,K]
+            starts = jnp.floor(boundary).astype(jnp.int32)
+            rems = boundary - starts.astype(jnp.float32)               # [C,K]
+            starts_c = jnp.clip(starts, 0, total - L)
+
+            # windows [C, K, L]
+            slice2 = jax.vmap(jax.vmap(
+                lambda b, o: jax.lax.dynamic_slice(b, (o,), (L,)),
+                in_axes=(None, 0)), in_axes=(None, 0))
+            w_re = slice2(block_re, starts_c)
+            w_im = slice2(block_im, starts_c)
+
+            n = jnp.arange(L, dtype=jnp.float32)                       # [L]
+            lens = jnp.diff(
+                jnp.concatenate([starts, (boundary[:, -1:]
+                                          + t_prn_samples[:, None])],
+                                axis=1).astype(jnp.float32), axis=1)   # [C,K]
+            valid = n[None, None, :] < lens[..., None]
+
+            # carrier NCO: continuous phase from the group start
+            step = jnp.float32(TWO_PI) * s.carrier_doppler_hz / fs     # [C]
+            rel = (starts_c - s.offset[:, None]).astype(jnp.float32)[..., None] \
+                + n[None, None, :]                                     # [C,K,L]
+            phase = s.rem_carr_phase_rad[:, None, None] \
+                + step[:, None, None] * rel
+            c_ = jnp.cos(phase)
+            s_ = jnp.sin(phase)
+            rot_re = jnp.where(valid, w_re * c_ + w_im * s_, 0.0)
+            rot_im = jnp.where(valid, w_im * c_ - w_re * s_, 0.0)
+
+            # code replicas [C, K, T, L]
+            code_step = s.code_freq_chips / fs * cspc                  # [C]
+            base = code_step[:, None, None] * n[None, None, :] \
+                - (rems * code_step[:, None])[..., None]               # [C,K,L]
+            idx = jnp.floor(base[:, :, None, :]
+                            + shifts[None, None, :, None]).astype(jnp.int32)
+            idx = jnp.mod(idx, code_table_len)
+            codes = jnp.take_along_axis(
+                code_tables[:, None, None, :],
+                idx, axis=-1)                                          # [C,K,T,L]
+
+            corr_re = jnp.sum(codes * rot_re[:, :, None, :], axis=-1)  # [C,K,T]
+            corr_im = jnp.sum(codes * rot_im[:, :, None, :], axis=-1)
+
+            # group-coherent accumulation (bit-aligned)
+            g_re = jnp.sum(corr_re, axis=1)                            # [C,T]
+            g_im = jnp.sum(corr_im, axis=1)
+            ep_re = g_re[:, prompt_tap]
+            ep_im = g_im[:, prompt_tap]
+
+            # ---- loop closure (extended-mode semantics) -----------------
+            pll_hz = disc.pll_cloop_two_quadrant_atan(ep_re, ep_im) / TWO_PI
+            g_eff = types.SimpleNamespace(**dataclasses.asdict(gains))
+            (carr_w, carr_x), carr_err = lf.fll_pll_step(
+                (s.carr_w, s.carr_x), jnp.zeros_like(pll_hz), pll_hz,
+                t_group, g_eff)
+            carrier_doppler = carr_err
+            if cfg.veml:
+                dll_d = disc.dll_nc_vemlp_normalized(
+                    g_re[:, 0], g_im[:, 0], g_re[:, 1], g_im[:, 1],
+                    g_re[:, 3], g_im[:, 3], g_re[:, 4], g_im[:, 4])
+            else:
+                dll_d = disc.dll_nc_e_minus_l_normalized(
+                    g_re[:, 0], g_im[:, 0], g_re[:, 2], g_im[:, 2],
+                    cfg.spc, cfg.slope, cfg.y_intercept)
+            (code_x_hist, code_y_hist), code_err = lf.iir_step(
+                (s.code_x_hist, s.code_y_hist), dll_d, dll_ic, dll_oc)
+            code_freq = chip_rate - code_err
+            if cfg.carrier_aiding:
+                code_freq = code_freq + carrier_doppler * chip_rate / carrier_hz
+
+            # ---- carry to next group ------------------------------------
+            end_boundary = boundary[:, -1] + t_prn_samples               # [C]
+            new_offset = jnp.floor(end_boundary).astype(jnp.int32)
+            new_rem = end_boundary - new_offset.astype(jnp.float32)
+            group_len = (new_offset - s.offset).astype(jnp.float32) + new_rem \
+                - s.rem_code_phase_samples
+            carr_incr = step * group_len
+            new_rem_carr = jnp.mod(s.rem_carr_phase_rad + carr_incr,
+                                   jnp.float32(TWO_PI))
+
+            # ---- C/N0 + locks (per group) -------------------------------
+            pb_re = jnp.concatenate(
+                [ep_re[:, None], s.prompt_buf_re[:, :-1]], axis=1)
+            pb_im = jnp.concatenate(
+                [ep_im[:, None], s.prompt_buf_im[:, :-1]], axis=1)
+            count_pre = s.prompt_count
+            have = count_pre >= cfg.cn0_samples
+            first = count_pre == cfg.cn0_samples
+            pcount = jnp.minimum(count_pre + 1, cfg.cn0_samples + 1)
+            cn0_raw = lockdet.cn0_m2m4_estimator(pb_re, pb_im, t_group)
+            a = jnp.float32(cfg.cn0_smoother_alpha)
+            cn0_s = jnp.where(have, jnp.where(first, cn0_raw,
+                              a * cn0_raw + (1 - a) * s.cn0_db_hz),
+                              s.cn0_db_hz)
+            lock_raw = lockdet.carrier_lock_detector(ep_re[:, None],
+                                                     ep_im[:, None])
+            al = jnp.float32(cfg.carrier_lock_test_smoother_alpha)
+            lock_s = jnp.where(have, jnp.where(first, lock_raw,
+                               al * lock_raw + (1 - al) * s.carrier_lock_test),
+                               s.carrier_lock_test)
+            cfail = jnp.where(have & (lock_s < cfg.carrier_lock_th),
+                              s.carrier_lock_fail + 1,
+                              jnp.maximum(s.carrier_lock_fail
+                                          - have.astype(jnp.int32), 0))
+            kfail = jnp.where(have & (cn0_s < cfg.cn0_min),
+                              s.code_lock_fail + 1,
+                              jnp.maximum(s.code_lock_fail
+                                          - have.astype(jnp.int32), 0))
+            loss = (cfail > cfg.max_carrier_lock_fail) \
+                | (kfail > cfg.max_code_lock_fail)
+
+            new = FastState(
+                active=s.active, offset=new_offset,
+                rem_code_phase_samples=new_rem,
+                rem_carr_phase_rad=new_rem_carr,
+                carrier_doppler_hz=carrier_doppler,
+                code_freq_chips=code_freq,
+                carr_w=carr_w, carr_x=carr_x,
+                code_x_hist=code_x_hist, code_y_hist=code_y_hist,
+                p_old_re=ep_re, p_old_im=ep_im,
+                prompt_buf_re=pb_re, prompt_buf_im=pb_im,
+                prompt_count=pcount, cn0_db_hz=cn0_s,
+                carrier_lock_test=lock_s,
+                code_lock_fail=jnp.where(loss, 0, kfail),
+                carrier_lock_fail=jnp.where(loss, 0, cfail),
+                loss_of_lock=s.loss_of_lock | (loss & s.active),
+            )
+
+            def sel(a_new, a_old):
+                mask = process
+                extra = a_new.ndim - mask.ndim
+                if extra:
+                    mask = mask.reshape(mask.shape + (1,) * extra)
+                return jnp.where(mask, a_new, a_old)
+
+            merged = FastState(*(sel(nf, of) for nf, of in zip(new, s)))
+            outputs = dict(
+                valid=process,
+                group_start=s.offset,
+                period_starts=starts,
+                period_rems=rems,
+                prompt_re=ep_re, prompt_im=ep_im,
+                period_prompt_re=corr_re[:, :, prompt_tap],
+                period_prompt_im=corr_im[:, :, prompt_tap],
+                carrier_doppler_hz=jnp.where(process, carrier_doppler,
+                                             s.carrier_doppler_hz),
+                code_freq_chips=jnp.where(process, code_freq,
+                                          s.code_freq_chips),
+                carr_phase_incr_rad=jnp.where(process, carr_incr, 0.0),
+                cn0_db_hz=jnp.where(process, cn0_s, s.cn0_db_hz),
+                loss_of_lock=merged.loss_of_lock,
+            )
+            return merged, outputs
+
+        def block_step(state: FastState, block_re, block_im, code_tables):
+            body = functools.partial(group_body, block_re=block_re,
+                                     block_im=block_im,
+                                     code_tables=code_tables)
+            state, outputs = jax.lax.scan(
+                lambda c, xs: body(c, xs), state, None, length=self.g)
+            state = state._replace(
+                offset=jnp.where(state.active,
+                                 state.offset - block_samples, state.offset))
+            return state, outputs
+
+        def superblock_step(state, blocks_re, blocks_im, code_tables):
+            def outer(carry, blk):
+                return block_step(carry, blk[0], blk[1], code_tables)
+
+            return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+
+        self._superblock_step = jax.jit(superblock_step, donate_argnums=(0,))
+        return block_step
+
+    def process_block(self, state, block_re, block_im, code_tables):
+        return self._block_step(state, block_re, block_im, code_tables)

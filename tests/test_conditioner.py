@@ -59,3 +59,38 @@ def test_direct_resampler_indices():
     # identity when rates match
     idx2 = direct_resample_indices(50, 5.0, 5.0)
     np.testing.assert_array_equal(idx2, np.arange(50))
+
+
+def test_pulse_blanking_removes_pulses():
+    from gnss_sdr_tpu.conditioner.interference import pulse_blanking
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(
+        np.complex64)
+    x[100:110] += 100.0  # strong pulse
+    re, im = pulse_blanking(from_complex(x), threshold_sigma=5.0)
+    out = np.asarray(re) + 1j * np.asarray(im)
+    assert np.all(np.abs(out[100:110]) == 0)
+    # untouched elsewhere (allow a few statistical false blanks)
+    untouched = np.mean(out[200:] == x[200:])
+    assert untouched > 0.99
+
+
+def test_notch_excision_removes_cw():
+    from gnss_sdr_tpu.conditioner.interference import notch_filter_block
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    t = np.arange(n)
+    noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    cw = 30.0 * np.exp(2j * np.pi * 0.12 * t)  # strong CW jammer
+    x = (noise + cw).astype(np.complex64)
+    re, im = notch_filter_block(from_complex(x), excision_factor=8.0)
+    out = np.asarray(re) + 1j * np.asarray(im)
+    # jammer suppressed: residual power near noise level
+    p_out = np.mean(np.abs(out) ** 2)
+    p_in = np.mean(np.abs(x) ** 2)
+    assert p_out < 0.02 * p_in
+    assert abs(p_out - np.mean(np.abs(noise) ** 2)) < 0.5 * np.mean(
+        np.abs(noise) ** 2)

@@ -1,0 +1,93 @@
+"""Fast (group-batched) tracking engine: steady-state equivalence with the
+scan engine's extended mode."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sdr_tpu.codes import gps_l1ca_code
+from gnss_sdr_tpu.simulate import SatelliteParams, generate_gps_l1ca
+from gnss_sdr_tpu.tracking import TrackingConfig
+from gnss_sdr_tpu.tracking.channels import TrackingChannels
+from gnss_sdr_tpu.tracking.fast_engine import FastTrackingEngine
+
+FS = 4.0e6
+
+
+def test_fast_engine_tracks_steady_state():
+    true_doppler = 1200.0
+    sat = SatelliteParams(prn=9, cn0_db_hz=45.0, delay_samples=400.0,
+                          doppler_hz=true_doppler)
+    x = generate_gps_l1ca([sat], FS, 1.4, seed=11)
+
+    # phase 1: pull in with the scan engine (wide mode)
+    cfg = TrackingConfig(fs=FS, extend_correlation_symbols=20,
+                         pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75,
+                         cn0_smoother_alpha=0.05)
+    block = int(FS * 0.02)
+    tc = TrackingChannels(cfg, 1, block)
+    tc.start_channel(0, 9, gps_l1ca_code(9), 400.0, true_doppler + 20.0, 0)
+    pull_in_blocks = 20  # 0.4 s
+    for b in range(pull_in_blocks):
+        tc.process_block(x[b * block: (b + 1) * block + tc.overlap])
+
+    # phase 2: hand over to the fast engine
+    fast = FastTrackingEngine(cfg, 1, groups_per_block=5)
+    state = fast.from_track_state(tc.state)
+    codes = jnp.asarray(np.asarray(gps_l1ca_code(9), np.float32)[None, :])
+    pos = pull_in_blocks * block  # absolute sample of fast-engine origin
+    dopplers = []
+    cn0s = []
+    all_starts = []
+    n_blocks = (len(x) - pos - fast.overlap) // fast.block_samples
+    assert n_blocks >= 8
+    for b in range(n_blocks):
+        lo = pos + b * fast.block_samples
+        seg = x[lo: lo + fast.block_samples + fast.overlap]
+        re = jnp.asarray(np.ascontiguousarray(seg.real, np.float32))
+        im = jnp.asarray(np.ascontiguousarray(seg.imag, np.float32))
+        state, out = fast.process_block(state, re, im, codes)
+        valid = np.asarray(out["valid"])[:, 0]
+        dopplers.extend(np.asarray(out["carrier_doppler_hz"])[valid, 0])
+        cn0s.extend(np.asarray(out["cn0_db_hz"])[valid, 0])
+        starts = np.asarray(out["period_starts"])[valid, 0, :]
+        all_starts.append(starts + lo)
+        assert not np.asarray(out["loss_of_lock"]).any()
+
+    dopplers = np.array(dopplers)
+    assert len(dopplers) >= 8 * 5 - 2
+    # converged doppler within a few Hz of truth
+    assert abs(np.mean(dopplers[-10:]) - true_doppler) < 5.0
+    # C/N0 estimate near truth at 20 ms integration
+    assert abs(cn0s[-1] - 45.0) < 5.0
+    # period boundaries advance by ~samples_per_code
+    starts = np.concatenate([s.reshape(-1) for s in all_starts])
+    spacing = np.diff(starts)
+    assert np.all(np.abs(spacing - 4000) <= 2)
+
+
+def test_fast_engine_prompt_power():
+    """Group prompt magnitude ~ K x per-period prompt (coherent gain)."""
+    sat = SatelliteParams(prn=4, cn0_db_hz=50.0, delay_samples=0.0,
+                          doppler_hz=-500.0)
+    x = generate_gps_l1ca([sat], FS, 0.9, seed=3)
+    cfg = TrackingConfig(fs=FS, extend_correlation_symbols=20)
+    block = int(FS * 0.02)
+    tc = TrackingChannels(cfg, 1, block)
+    tc.start_channel(0, 4, gps_l1ca_code(4), 0.0, -495.0, 0)
+    for b in range(15):
+        tc.process_block(x[b * block: (b + 1) * block + tc.overlap])
+    fast = FastTrackingEngine(cfg, 1, groups_per_block=5)
+    state = fast.from_track_state(tc.state)
+    codes = jnp.asarray(np.asarray(gps_l1ca_code(4), np.float32)[None, :])
+    pos = 15 * block
+    lo = pos
+    seg = x[lo: lo + fast.block_samples + fast.overlap]
+    re = jnp.asarray(np.ascontiguousarray(seg.real, np.float32))
+    im = jnp.asarray(np.ascontiguousarray(seg.imag, np.float32))
+    state, out = fast.process_block(state, re, im, codes)
+    group_p = np.abs(np.asarray(out["prompt_re"])[:, 0]
+                     + 1j * np.asarray(out["prompt_im"])[:, 0])
+    per_p = np.abs(np.asarray(out["period_prompt_re"])[:, 0, :]
+                   + 1j * np.asarray(out["period_prompt_im"])[:, 0, :])
+    # coherent gain: group ~ sum of periods (>= 15x mean period magnitude)
+    assert np.all(group_p > 10.0 * per_p.mean(axis=-1))
