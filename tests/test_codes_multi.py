@@ -76,3 +76,62 @@ def test_beidou_acquirable():
     spc = fs / 2.046e6
     err = abs(res.delay_samples - delay)
     assert min(err, n - err) < 0.5 * spc
+
+def test_gps_l2cm_codes():
+    from gnss_sdr_tpu.codes.gps_l2c import gps_l2cm_code
+
+    a = gps_l2cm_code(1)
+    b = gps_l2cm_code(2)
+    assert a.shape == (10230,) and set(np.unique(a)) == {-1.0, 1.0}
+    assert not np.array_equal(a, b)
+    fa, fb = np.fft.fft(a.astype(np.float64)), np.fft.fft(b.astype(np.float64))
+    xc = np.abs(np.fft.ifft(fa * np.conj(fb)).real)
+    assert np.max(xc) < 0.1 * 10230
+
+
+def test_gps_l5_codes():
+    from gnss_sdr_tpu.codes.gps_l5 import gps_l5i_code, gps_l5q_code
+
+    i1 = gps_l5i_code(1)
+    q1 = gps_l5q_code(1)
+    i2 = gps_l5i_code(7)
+    assert i1.shape == (10230,)
+    assert not np.array_equal(i1, q1)
+    assert not np.array_equal(i1, i2)
+    # near-balanced Gold-like codes
+    assert abs(int(np.sum(i1))) < 200
+    fa = np.fft.fft(i1.astype(np.float64))
+    fb = np.fft.fft(i2.astype(np.float64))
+    xc = np.abs(np.fft.ifft(fa * np.conj(fb)).real)
+    assert np.max(xc) < 0.1 * 10230
+    auto = np.fft.ifft(fa * np.conj(fa)).real
+    assert abs(auto[0] - 10230) < 1e-6
+
+
+def test_l5_acquirable():
+    from gnss_sdr_tpu.acquisition.pcps import AcqConfig, PcpsAcquisition
+    from gnss_sdr_tpu.codes.gps_l5 import gps_l5i_code
+    from gnss_sdr_tpu.codes.sampling import sample_code
+
+    fs = 25.0e6  # ~2.44 samples/chip at 10.23 Mcps
+    code = gps_l5i_code(3)
+    sampled = sample_code(code, fs, 10.23e6).astype(np.complex64)
+    n = sampled.shape[0]
+    rng = np.random.default_rng(2)
+    delay, doppler = 10000, -2600.0
+    idx = (np.arange(2 * n) - delay) % n
+    sig = sampled.real[idx]
+    t = np.arange(2 * n) / fs
+    x = (sig * np.exp(2j * np.pi * doppler * t)
+         + 20.0 * (rng.standard_normal(2 * n)
+                   + 1j * rng.standard_normal(2 * n))).astype(np.complex64)
+    cfg = AcqConfig(fs=fs, samples_per_code=n, code_length_chips=10230,
+                    doppler_max=5000, doppler_step=250, pfa=0.001,
+                    max_dwells=2)
+    acq = PcpsAcquisition(cfg, {3: sampled})
+    res = acq.search(x)[3]
+    assert res.positive
+    assert abs(res.doppler_hz - doppler) <= 250.0
+    spc = fs / 10.23e6
+    err = abs(res.delay_samples - delay)
+    assert min(err, n - err) < 0.5 * spc
