@@ -51,3 +51,57 @@ class BitSync:
         period with the given index."""
         assert self.bit_phase is not None
         return (next_period_index - self.bit_phase) % self.spb
+
+
+class SecondaryCodeSync:
+    """Secondary-code phase search for pilot channels.
+
+    Counterpart of acquire_secondary (dll_pll_veml_tracking.cc:923-968):
+    correlate the prompt history against the known secondary sequence at
+    every cyclic phase; declare sync when one phase dominates.
+    """
+
+    def __init__(self, code: str, repeats: int = 4):
+        self.signs = [1.0 if c in "0+" else -1.0 for c in code]
+        self.k = len(self.signs)
+        self.repeats = repeats
+        self.history: list[float] = []
+        self.count = 0
+        self.phase: int | None = None   # period index mod K of code start
+        self.inverted = False
+
+    @property
+    def synced(self) -> bool:
+        return self.phase is not None
+
+    def feed(self, prompt_i: float) -> bool:
+        self.history.append(1.0 if prompt_i >= 0 else -1.0)
+        self.count += 1
+        if self.synced or len(self.history) < self.repeats * self.k:
+            return False
+        window = self.history[-self.repeats * self.k:]
+        best, best_phase, second, best_sign = 0.0, 0, 0.0, 0.0
+        for ph in range(self.k):
+            corr = sum(
+                window[i] * self.signs[(i + ph) % self.k]
+                for i in range(len(window)))
+            a = abs(corr)
+            if a > best:
+                second = best
+                best, best_phase, best_sign = a, ph, corr
+            elif a > second:
+                second = a
+        if best == self.repeats * self.k and best > 2 * second:
+            # window starts at absolute period (count - repeats*k); its
+            # secondary index was best_phase
+            start_abs = self.count - self.repeats * self.k
+            self.phase = (best_phase - start_abs) % self.k
+            self.inverted = best_sign < 0
+            return True
+        return False
+
+    def periods_into_code(self, next_period_index: int) -> int:
+        """Secondary-code index of the period with the given absolute
+        index (what set_extended needs as periods_into_group)."""
+        assert self.phase is not None
+        return (next_period_index + self.phase) % self.k

@@ -142,6 +142,8 @@ class TrackState(NamedTuple):
     loss_of_lock: jax.Array        # bool
     step_count: jax.Array          # int32: periods since channel start
     extended: jax.Array            # bool: extended coherent integration on
+    secondary_locked: jax.Array    # bool: secondary code wiped (pure PLL)
+    secondary_signs: jax.Array     # f32 [C, K]: per-period sign wipe-off
     accu_count: jax.Array          # int32: periods accumulated so far
     accu_re: jax.Array             # f32 [C, T]: coherent accumulator
     accu_im: jax.Array             # f32 [C, T]
@@ -222,7 +224,12 @@ class TrackingEngine:
             prompt_count=i32(), cn0_db_hz=f32(), carrier_lock_test=f32(),
             evm=f32(), code_lock_fail=i32(), carrier_lock_fail=i32(),
             loss_of_lock=jnp.zeros((c,), dtype=bool), step_count=i32(),
-            extended=jnp.zeros((c,), dtype=bool), accu_count=i32(),
+            extended=jnp.zeros((c,), dtype=bool),
+            secondary_locked=jnp.zeros((c,), dtype=bool),
+            secondary_signs=jnp.ones(
+                (c, max(1, self.cfg.extend_correlation_symbols)),
+                dtype=jnp.float32),
+            accu_count=i32(),
             accu_re=jnp.zeros((c, self.cfg.n_taps), dtype=jnp.float32),
             accu_im=jnp.zeros((c, self.cfg.n_taps), dtype=jnp.float32),
         )
@@ -275,6 +282,8 @@ class TrackingEngine:
             loss_of_lock=state.loss_of_lock.at[ch].set(False),
             step_count=state.step_count.at[ch].set(0),
             extended=state.extended.at[ch].set(False),
+            secondary_locked=state.secondary_locked.at[ch].set(False),
+            secondary_signs=state.secondary_signs.at[ch].set(1.0),
             accu_count=state.accu_count.at[ch].set(0),
             accu_re=state.accu_re.at[ch].set(0.0),
             accu_im=state.accu_im.at[ch].set(0.0),
@@ -284,7 +293,8 @@ class TrackingEngine:
         return state._replace(active=state.active.at[ch].set(False))
 
     def set_extended(self, state: TrackState, ch: int,
-                     periods_into_group: int = 0) -> TrackState:
+                     periods_into_group: int = 0,
+                     secondary_code: str | None = None) -> TrackState:
         """Switch a channel into extended coherent integration (the
         reference's state-2 -> state-3 transition after bit/secondary
         sync, dll_pll_veml_tracking.cc:1845-2028). ``periods_into_group``
@@ -294,7 +304,14 @@ class TrackingEngine:
         The carrier loop filter is reinitialized from the current Doppler
         (as the reference does when re-parameterizing the loops): carrying
         the wide loop's integrator state into the narrow-bandwidth loop
-        injects a slow multi-second transient."""
+        injects a slow multi-second transient.
+
+        ``secondary_code`` ("0"/"1" string of length K) enables pilot
+        secondary-code wipe-off: each period's correlators are multiplied
+        by the corresponding sign before coherent accumulation
+        (save_correlation_results, dll_pll_veml_tracking.cc:1290), and the
+        PLL switches from Costas to the four-quadrant discriminator
+        (d_cloop=false in run_dll_pll)."""
         doppler = state.carrier_doppler_hz[ch]
         if self._gains_narrow.order == 3:
             w0 = jnp.float32(0.0)
@@ -302,7 +319,7 @@ class TrackingEngine:
         else:
             w0 = doppler
             x0 = jnp.float32(0.0)
-        return state._replace(
+        state = state._replace(
             extended=state.extended.at[ch].set(True),
             accu_count=state.accu_count.at[ch].set(int(periods_into_group)),
             accu_re=state.accu_re.at[ch].set(0.0),
@@ -310,6 +327,20 @@ class TrackingEngine:
             carr_w=state.carr_w.at[ch].set(w0),
             carr_x=state.carr_x.at[ch].set(x0),
         )
+        if secondary_code is not None:
+            signs = np.asarray(
+                [1.0 if c in "0+" else -1.0 for c in secondary_code],
+                dtype=np.float32)
+            k = state.secondary_signs.shape[1]
+            if signs.shape[0] != k:
+                raise ValueError(
+                    f"secondary code length {signs.shape[0]} != K={k}")
+            state = state._replace(
+                secondary_signs=state.secondary_signs.at[ch].set(
+                    jnp.asarray(signs)),
+                secondary_locked=state.secondary_locked.at[ch].set(True),
+            )
+        return state
 
     # -- device program ----------------------------------------------------
     def _build_block_step(self):
@@ -359,8 +390,13 @@ class TrackingEngine:
             #      dll_pll_veml_tracking.cc:1989-2028) ---------------------
             # accumulate correlators across K periods; run the loops every
             # period in wide mode, every K-th period in extended mode
-            accu_re = s.accu_re + corr_re
-            accu_im = s.accu_im + corr_im
+            sign = jnp.take_along_axis(
+                s.secondary_signs,
+                jnp.clip(s.accu_count, 0,
+                         s.secondary_signs.shape[1] - 1)[:, None],
+                axis=1)[:, 0]
+            accu_re = s.accu_re + sign[:, None] * corr_re
+            accu_im = s.accu_im + sign[:, None] * corr_im
             accu_count = s.accu_count + 1
             run_loops = (~s.extended) | (accu_count >= k_ext)
             eff_re = jnp.where(s.extended[:, None], accu_re, corr_re)
@@ -370,8 +406,10 @@ class TrackingEngine:
             t_eff = jnp.where(s.extended, t_nominal * k_ext, t_nominal)
 
             # ---- run_dll_pll (dll_pll_veml_tracking.cc:1092-1213) -------
-            pll_disc_hz = disc.pll_cloop_two_quadrant_atan(ep_re, ep_im) \
-                / TWO_PI
+            pll_costas = disc.pll_cloop_two_quadrant_atan(ep_re, ep_im)
+            pll_4q = disc.pll_four_quadrant_atan(ep_re, ep_im)
+            pll_disc_hz = jnp.where(s.secondary_locked, pll_4q,
+                                    pll_costas) / TWO_PI
             fll_disc_hz = disc.fll_diff_atan(
                 s.p_old_re, s.p_old_im, ep_re, ep_im, 0.0, t_eff) / TWO_PI
             pull_in = s.step_count < pull_in_steps
@@ -527,6 +565,8 @@ class TrackingEngine:
                 loss_of_lock=s.loss_of_lock | (loss & s.active),
                 step_count=s.step_count + 1,
                 extended=s.extended,
+                secondary_locked=s.secondary_locked,
+                secondary_signs=s.secondary_signs,
                 accu_count=accu_count,
                 accu_re=accu_re, accu_im=accu_im,
             )
