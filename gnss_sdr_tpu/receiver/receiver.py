@@ -52,6 +52,11 @@ class ReceiverConfig:
     fll_bw_hz: float = 35.0
     pull_in_time_s: float = 0.5
     early_late_space_chips: float = 0.5
+    # >1 enables extended coherent integration after host bit-sync
+    # (tracking states 3/4)
+    extend_correlation_symbols: int = 1
+    pll_bw_narrow_hz: float = 5.0
+    dll_bw_narrow_hz: float = 0.75
     # observables / PVT
     interval_ms: int = 20
     output_rate_ms: int = 100
@@ -81,10 +86,18 @@ class Receiver:
             enable_fll_pull_in=cfg.enable_fll_pull_in,
             fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
             early_late_space_chips=cfg.early_late_space_chips,
+            extend_correlation_symbols=cfg.extend_correlation_symbols,
+            pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
+            dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
         )
         self.tracking = TrackingChannels(trk_cfg, cfg.n_channels,
                                          self.block_samples)
         self.decoders = [GpsLnavDecoder() for _ in range(cfg.n_channels)]
+        from gnss_sdr_tpu.tracking.bit_sync import BitSync
+
+        self._bit_sync = [BitSync() for _ in range(cfg.n_channels)]
+        self._period_count = [0] * cfg.n_channels
+        self._extended = [False] * cfg.n_channels
         self.observables = ObservablesEngine(
             fs, cfg.interval_ms, cfg.n_channels,
             enable_carrier_smoothing=cfg.enable_carrier_smoothing,
@@ -215,6 +228,11 @@ class Receiver:
                     res.doppler_hz, res.samplestamp_samples)
                 self.decoders[fsm.channel_id] = GpsLnavDecoder()
                 self.observables.reset_channel(fsm.channel_id)
+                from gnss_sdr_tpu.tracking.bit_sync import BitSync
+
+                self._bit_sync[fsm.channel_id] = BitSync()
+                self._period_count[fsm.channel_id] = 0
+                self._extended[fsm.channel_id] = False
             # negative: keep searching the same satellite next block
             # (the reference cycles the satellite back through the list)
 
@@ -239,6 +257,10 @@ class Receiver:
                     self.observables.reset_channel(ch)
                     break
                 dec.feed(p.prompt.real, p.sample_start + p.length)
+                bs = self._bit_sync[ch]
+                if not self._extended[ch]:
+                    bs.feed(p.prompt.real)
+                self._period_count[ch] += 1
                 if dec.tow_at_last_symbol_ms is not None:
                     boundary = p.sample_start + p.rem_code_phase_samples
                     tow_at_boundary = dec.tow_at_last_symbol_ms - 1.0
@@ -249,6 +271,16 @@ class Receiver:
             if dec.has_full_ephemeris() and fsm.prn not in self.ephemerides:
                 self.ephemerides[fsm.prn] = GpsEphemeris.from_fields(
                     fsm.prn, dec.ephemeris_fields)
+            # state 2 -> 3: extended coherent integration after bit sync
+            if (self.cfg.extend_correlation_symbols > 1
+                    and not self._extended[ch]
+                    and self._bit_sync[ch].synced
+                    and self._period_count[ch]
+                    > self.cfg.pull_in_time_s * 1000 + 100):
+                self.tracking.enable_extended(
+                    ch, self._bit_sync[ch].periods_into_bit(
+                        self._period_count[ch]))
+                self._extended[ch] = True
 
     def _run_observables_and_pvt(self) -> list[PvtSolution]:
         limit = self.tracking.abs_block_start - 2 * self.tracking.engine.max_period
