@@ -183,6 +183,7 @@ class FastTrackingEngine:
         gains = self._gains
         dll_ic, dll_oc = self._dll_ic, self._dll_oc
         L = self.max_period
+        Lg = self.k * cfg.samples_per_code + 64
         block_samples = self.block_samples
         total = block_samples + self.overlap
         n_taps = self.n_taps
@@ -203,46 +204,75 @@ class FastTrackingEngine:
                 + kk[None, :] * t_prn_samples[:, None]                 # [C,K]
             starts = jnp.floor(boundary).astype(jnp.int32)
             rems = boundary - starts.astype(jnp.float32)               # [C,K]
-            starts_c = jnp.clip(starts, 0, total - L)
 
-            # windows [C, K, L]
-            slice2 = jax.vmap(jax.vmap(
-                lambda b, o: jax.lax.dynamic_slice(b, (o,), (L,)),
-                in_axes=(None, 0)), in_axes=(None, 0))
-            w_re = slice2(block_re, starts_c)
-            w_im = slice2(block_im, starts_c)
+            # ---- segmented-sum correlation ------------------------------
+            # The per-sample code-table gather is the TPU bottleneck
+            # (3 taps x ~4 samples/chip random loads). Instead: rotate the
+            # group's samples once, prefix-sum them, and read ONE prefix
+            # value per chip boundary per tap — chip sums then contract
+            # against the code table. Sample-to-chip assignment matches
+            # the floor-resampler exactly; the only divergence from the
+            # per-period gather form is that a tap's sub-chip spill at a
+            # period boundary lands in the neighboring period's
+            # correlator (noise-level, a few samples out of thousands).
+            group_start = jnp.clip(s.offset, 0, total - Lg)            # [C]
+            gw_re = jax.vmap(
+                lambda b, o: jax.lax.dynamic_slice(b, (o,), (Lg,)),
+                in_axes=(None, 0))(block_re, group_start)
+            gw_im = jax.vmap(
+                lambda b, o: jax.lax.dynamic_slice(b, (o,), (Lg,)),
+                in_axes=(None, 0))(block_im, group_start)
 
-            n = jnp.arange(L, dtype=jnp.float32)                       # [L]
-            lens = jnp.diff(
-                jnp.concatenate([starts, (boundary[:, -1:]
-                                          + t_prn_samples[:, None])],
-                                axis=1).astype(jnp.float32), axis=1)   # [C,K]
-            valid = n[None, None, :] < lens[..., None]
-
-            # carrier NCO: continuous phase from the group start
+            n = jnp.arange(Lg, dtype=jnp.float32)                      # [Lg]
             step = jnp.float32(TWO_PI) * s.carrier_doppler_hz / fs     # [C]
-            rel = (starts_c - s.offset[:, None]).astype(jnp.float32)[..., None] \
-                + n[None, None, :]                                     # [C,K,L]
-            phase = s.rem_carr_phase_rad[:, None, None] \
-                + step[:, None, None] * rel
+            phase = s.rem_carr_phase_rad[:, None] + step[:, None] * n[None, :]
             c_ = jnp.cos(phase)
             s_ = jnp.sin(phase)
-            rot_re = jnp.where(valid, w_re * c_ + w_im * s_, 0.0)
-            rot_im = jnp.where(valid, w_im * c_ - w_re * s_, 0.0)
+            rot_re = gw_re * c_ + gw_im * s_
+            rot_im = gw_im * c_ - gw_re * s_
 
-            # code replicas [C, K, T, L]
+            zeros1 = jnp.zeros((rot_re.shape[0], 1), dtype=jnp.float32)
+            p_re = jnp.concatenate(
+                [zeros1, jnp.cumsum(rot_re, axis=1)], axis=1)          # [C,Lg+1]
+            p_im = jnp.concatenate(
+                [zeros1, jnp.cumsum(rot_im, axis=1)], axis=1)
+
+            # chip boundaries: global chip c of tap t starts at sample
+            # ceil(r + (c - shift_t)/q) relative to the group start
             code_step = s.code_freq_chips / fs * cspc                  # [C]
-            base = code_step[:, None, None] * n[None, None, :] \
-                - (rems * code_step[:, None])[..., None]               # [C,K,L]
-            idx = jnp.floor(base[:, :, None, :]
-                            + shifts[None, None, :, None]).astype(jnp.int32)
-            idx = jnp.mod(idx, code_table_len)
-            codes = jnp.take_along_axis(
-                code_tables[:, None, None, :],
-                idx, axis=-1)                                          # [C,K,T,L]
+            n_chips = k_ext * code_table_len
+            cc = jnp.arange(-1, n_chips + 2, dtype=jnp.float32)        # [Nb+1]
+            r0 = s.rem_code_phase_samples                              # [C]
+            a = jnp.ceil(
+                r0[:, None, None]
+                + (cc[None, None, :] - shifts[None, :, None])
+                / code_step[:, None, None])                            # [C,T,Nb+1]
+            a = jnp.clip(a, 0, Lg).astype(jnp.int32)
 
-            corr_re = jnp.sum(codes * rot_re[:, :, None, :], axis=-1)  # [C,K,T]
-            corr_im = jnp.sum(codes * rot_im[:, :, None, :], axis=-1)
+            pr = jnp.take_along_axis(p_re[:, None, :], a, axis=-1)
+            pi_ = jnp.take_along_axis(p_im[:, None, :], a, axis=-1)
+            seg_re = jnp.diff(pr, axis=-1)                             # [C,T,Nb]
+            seg_im = jnp.diff(pi_, axis=-1)
+
+            # fold the boundary spill bins into the edge periods' wrap
+            # chips (the gather form's mod-wrap behavior)
+            core_re = seg_re[..., 1:1 + n_chips]
+            core_im = seg_im[..., 1:1 + n_chips]
+            core_re = core_re.at[..., code_table_len - 1].add(
+                seg_re[..., 0])
+            core_im = core_im.at[..., code_table_len - 1].add(
+                seg_im[..., 0])
+            core_re = core_re.at[..., n_chips - code_table_len].add(
+                seg_re[..., n_chips + 1])
+            core_im = core_im.at[..., n_chips - code_table_len].add(
+                seg_im[..., n_chips + 1])
+            core_re = core_re.reshape(
+                core_re.shape[0], n_taps, k_ext, code_table_len)
+            core_im = core_im.reshape(
+                core_im.shape[0], n_taps, k_ext, code_table_len)
+
+            corr_re = jnp.einsum("ctkq,cq->ckt", core_re, code_tables)
+            corr_im = jnp.einsum("ctkq,cq->ckt", core_im, code_tables)
 
             # group-coherent accumulation (bit-aligned)
             g_re = jnp.sum(corr_re, axis=1)                            # [C,T]
