@@ -27,6 +27,7 @@ dynamic PRN-period lengths representable with one static shape.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def multicorrelate(
@@ -63,16 +64,57 @@ def multicorrelate(
     rot_re = jnp.where(valid, rot_re, 0.0)
     rot_im = jnp.where(valid, rot_im, 0.0)
 
-    # tap-shifted code resampling: idx[t, n] = floor(step*n + shift - rem)
-    base = code_phase_step[..., None] * n - rem_code_phase[..., None]
     if code_phase_rate_step is not None:
+        # high-dynamics (quadratic code phase): fall back to the direct
+        # per-sample gather (boundaries are no longer monotone-affine)
+        base = code_phase_step[..., None] * n - rem_code_phase[..., None]
         base = base + 0.5 * code_phase_rate_step[..., None] * n * n
-    idx = jnp.floor(base[..., None, :] + shifts[:, None]).astype(jnp.int32)
-    idx = jnp.mod(idx, code_len)
-    codes = jnp.take_along_axis(
-        code_table[..., None, :], idx, axis=-1
-    )  # [..., T, L]
+        idx = jnp.floor(base[..., None, :] + shifts[:, None]).astype(jnp.int32)
+        idx = jnp.mod(idx, code_len)
+        codes = jnp.take_along_axis(
+            code_table[..., None, :], idx, axis=-1)
+        corr_re = jnp.sum(codes * rot_re[..., None, :], axis=-1)
+        corr_im = jnp.sum(codes * rot_im[..., None, :], axis=-1)
+        return corr_re, corr_im
 
-    corr_re = jnp.sum(codes * rot_re[..., None, :], axis=-1)
-    corr_im = jnp.sum(codes * rot_im[..., None, :], axis=-1)
+    # ---- segmented-sum evaluation (exact) -------------------------------
+    # Sample n belongs to chip floor(step*n - rem + shift); since step > 0
+    # those chips are a monotone partition: chip c spans samples
+    # [ceil((c + rem - shift)/step), ...). One prefix-sum read per chip
+    # boundary replaces the per-sample code gather (the TPU bottleneck),
+    # and the chip sums contract against the code table. The two spill
+    # bins (c = -1 and c = code_len) fold onto the mod-wrapped chips, so
+    # results equal the gather formulation bit-for-bit up to f32
+    # summation order.
+    zeros1 = jnp.zeros(rot_re.shape[:-1] + (1,), dtype=rot_re.dtype)
+    p_re = jnp.concatenate([zeros1, jnp.cumsum(rot_re, axis=-1)], axis=-1)
+    p_im = jnp.concatenate([zeros1, jnp.cumsum(rot_im, axis=-1)], axis=-1)
+
+    # spill range: tap shifts can span several chips (VEML at 12
+    # code-samples/chip), so extend the bin domain by the worst shift
+    n_extra = int(np.ceil(float(np.max(np.abs(np.asarray(shifts)))))) + 1
+    cc = jnp.arange(-n_extra, code_len + n_extra + 1, dtype=jnp.float32)
+    a = jnp.ceil((cc[None, :] + rem_code_phase[..., None, None]
+                  - shifts[:, None])
+                 / code_phase_step[..., None, None])       # [..., T, bins+1]
+    a = jnp.clip(a, 0, L).astype(jnp.int32)
+    pr = jnp.take_along_axis(p_re[..., None, :], a, axis=-1)
+    pi_ = jnp.take_along_axis(p_im[..., None, :], a, axis=-1)
+    seg_re = jnp.diff(pr, axis=-1)                         # chips -ne..cl+ne-1
+    seg_im = jnp.diff(pi_, axis=-1)
+    core_re = seg_re[..., n_extra:n_extra + code_len]
+    core_im = seg_im[..., n_extra:n_extra + code_len]
+    for j in range(n_extra):
+        # chip -1-j wraps to code_len-1-j; chip code_len+j wraps to j
+        core_re = core_re.at[..., code_len - 1 - j].add(
+            seg_re[..., n_extra - 1 - j])
+        core_im = core_im.at[..., code_len - 1 - j].add(
+            seg_im[..., n_extra - 1 - j])
+        core_re = core_re.at[..., j].add(
+            seg_re[..., n_extra + code_len + j])
+        core_im = core_im.at[..., j].add(
+            seg_im[..., n_extra + code_len + j])
+
+    corr_re = jnp.sum(core_re * code_table[..., None, :], axis=-1)
+    corr_im = jnp.sum(core_im * code_table[..., None, :], axis=-1)
     return corr_re, corr_im

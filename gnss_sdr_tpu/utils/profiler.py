@@ -17,14 +17,14 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, reps: int = 3) -> float:
+def _time(fn, reps: int = 3) -> float:
     import jax
 
-    out = fn(*args)
+    out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
+        out = fn()
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
@@ -79,9 +79,14 @@ def profile_tracking(channel_counts=(4, 12), fs=2.046e6,
         for ch in range(c):
             st = eng.start_channel(st, ch, 100.0 * ch, 13 * ch,
                                    cfg.samples_per_code)
+        # the block step donates its carry: chain it through a cell
+        cell = [st]
 
-        def run(state=st):
-            s2, out = eng._block_step(state, bre, bim, codes)
+        def run():
+            import jax
+
+            s2, out = eng._block_step(cell[0], bre, bim, codes)
+            cell[0] = s2
             return out
 
         dt = _time(run)
