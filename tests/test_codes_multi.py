@@ -135,3 +135,24 @@ def test_l5_acquirable():
     spc = fs / 10.23e6
     err = abs(res.delay_samples - delay)
     assert min(err, n - err) < 0.5 * spc
+
+
+def test_galileo_e5a_codes():
+    from gnss_sdr_tpu.codes.galileo_e5a import (
+        galileo_e5a_code,
+        galileo_e5a_secondary,
+    )
+
+    i1 = galileo_e5a_code(1, "I")
+    q1 = galileo_e5a_code(1, "Q")
+    i2 = galileo_e5a_code(2, "I")
+    assert i1.shape == (10230,)
+    assert set(np.unique(i1)) == {-1.0, 1.0}
+    assert not np.array_equal(i1, q1)
+    fa = np.fft.fft(i1.astype(np.float64))
+    fb = np.fft.fft(i2.astype(np.float64))
+    xc = np.abs(np.fft.ifft(fa * np.conj(fb)).real)
+    assert np.max(xc) < 0.12 * 10230
+    assert len(galileo_e5a_secondary(1, "I")) == 20
+    assert len(galileo_e5a_secondary(5, "Q")) == 100
+    assert galileo_e5a_secondary(1, "Q") != galileo_e5a_secondary(2, "Q")
