@@ -156,3 +156,40 @@ def test_galileo_e5a_codes():
     assert len(galileo_e5a_secondary(1, "I")) == 20
     assert len(galileo_e5a_secondary(5, "Q")) == 100
     assert galileo_e5a_secondary(1, "Q") != galileo_e5a_secondary(2, "Q")
+
+
+def test_galileo_e5b_e6_codes():
+    from gnss_sdr_tpu.codes.galileo_e5b_e6 import (
+        galileo_e5b_code,
+        galileo_e5b_secondary,
+        galileo_e6_code,
+        galileo_e6c_secondary,
+    )
+
+    b = galileo_e5b_code(1, "I")
+    q = galileo_e5b_code(1, "Q")
+    assert b.shape == (10230,) and not np.array_equal(b, q)
+    e6b = galileo_e6_code(1, "B")
+    e6c = galileo_e6_code(1, "C")
+    assert e6b.shape == (5115,) and not np.array_equal(e6b, e6c)
+    fa = np.fft.fft(e6b.astype(np.float64))
+    fb = np.fft.fft(galileo_e6_code(2, "B").astype(np.float64))
+    xc = np.abs(np.fft.ifft(fa * np.conj(fb)).real)
+    assert np.max(xc) < 0.12 * 5115
+    assert galileo_e5b_secondary(1, "I") == "1110"
+    assert len(galileo_e5b_secondary(3, "Q")) == 100
+    assert len(galileo_e6c_secondary(1)) == 100
+    assert set(galileo_e6c_secondary(2)) <= {"0", "1"}
+
+
+def test_beidou_b3i_codes():
+    from gnss_sdr_tpu.codes.beidou_b3i import beidou_b3i_code
+
+    a = beidou_b3i_code(1)
+    b = beidou_b3i_code(2)
+    assert a.shape == (10230,)
+    assert set(np.unique(a)) == {-1.0, 1.0}
+    assert not np.array_equal(a, b)
+    fa, fb = np.fft.fft(a.astype(np.float64)), np.fft.fft(b.astype(np.float64))
+    xc = np.abs(np.fft.ifft(fa * np.conj(fb)).real)
+    assert np.max(xc) < 0.12 * 10230
