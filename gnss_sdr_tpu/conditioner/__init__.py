@@ -11,11 +11,12 @@ from gnss_sdr_tpu.conditioner.fir import (
     fir_filter,
     freq_xlating_fir_filter,
 )
-from gnss_sdr_tpu.conditioner.resampler import direct_resample_indices
+from gnss_sdr_tpu.conditioner.resampler import direct_resample_indices, mmse_resample
 
 __all__ = [
     "design_lowpass_taps",
     "fir_filter",
     "freq_xlating_fir_filter",
     "direct_resample_indices",
+    "mmse_resample",
 ]
