@@ -1,0 +1,93 @@
+"""Command-line receiver: ``python -m gnss_sdr_tpu --config_file=rx.conf``.
+
+Counterpart of the reference's main binary
+(/root/reference/src/main/main.cc:66-204): loads an INI configuration,
+applies CLI overrides (the gflags layer, gnss_sdr_flags.cc — same flag
+names for the common knobs), assembles the receiver via the
+implementation-name factory, streams the configured signal source, and
+prints fixes as NMEA. Exit code 42 requests a restart (harness contract,
+gnss-sdr-harness.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gnss_sdr_tpu")
+    p.add_argument("--config_file", "-c", required=True,
+                   help="INI configuration (reference dialect)")
+    p.add_argument("--signal_source", "-s", default=None,
+                   help="override SignalSource.filename")
+    # gflags-parity overrides (gnss_sdr_flags.cc)
+    p.add_argument("--doppler_max", type=float, default=None)
+    p.add_argument("--doppler_step", type=float, default=None)
+    p.add_argument("--pll_bw_hz", type=float, default=None)
+    p.add_argument("--dll_bw_hz", type=float, default=None)
+    p.add_argument("--cn0_min", type=float, default=None)
+    p.add_argument("--max_lock_fail", type=int, default=None)
+    p.add_argument("--kml", default=None, help="write KML track here")
+    p.add_argument("--telecommand_port", type=int, default=0,
+                   help="enable the TCP telecommand server on this port")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from gnss_sdr_tpu.config import FileConfiguration
+    from gnss_sdr_tpu.monitor import KmlWriter, nmea_gga
+    from gnss_sdr_tpu.receiver.factory import make_receiver, make_signal_source
+    from gnss_sdr_tpu.receiver.telecommand import TelecommandServer
+
+    config = FileConfiguration(args.config_file)
+    overrides = {
+        "Acquisition_1C.doppler_max": args.doppler_max,
+        "Acquisition_1C.doppler_step": args.doppler_step,
+        "Tracking_1C.pll_bw_hz": args.pll_bw_hz,
+        "Tracking_1C.dll_bw_hz": args.dll_bw_hz,
+        "SignalSource.filename": args.signal_source,
+    }
+    config.apply_overrides(
+        {k: str(v) for k, v in overrides.items() if v is not None})
+
+    source = make_signal_source(config)
+    if source is None:
+        print("ERROR: SignalSource.implementation missing", file=sys.stderr)
+        return 2
+    receiver = make_receiver(config)
+
+    server = None
+    if args.telecommand_port:
+        server = TelecommandServer(receiver.apply_command,
+                                   port=args.telecommand_port)
+        server.start()
+        print(f"telecommand server on port {server.port}", file=sys.stderr)
+
+    kml = KmlWriter(args.kml) if args.kml else None
+    try:
+        block = receiver.block_samples
+        pos = 0
+        n = source.n_samples
+        while pos + block + receiver.overlap <= n:
+            chunk = source.read(pos, block + receiver.overlap)
+            for sol in receiver.process_block(chunk):
+                print(nmea_gga(sol.lat_rad, sol.lon_rad, sol.height_m,
+                               sol.n_sats, sol.hdop), end="")
+                if kml:
+                    kml.add_fix(sol.lat_rad, sol.lon_rad, sol.height_m)
+            pos += block
+    finally:
+        if kml:
+            kml.close()
+        if server:
+            server.stop()
+    print(f"processed {pos} samples, {len(receiver.solutions)} fixes",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -190,6 +190,57 @@ def parse_subframe(sources: np.ndarray) -> dict:
         out["iode_sf3"] = _bits_to_uint(_field(sources, 10, 1, 8))
         out["idot_rad_s"] = _bits_to_int(_field(sources, 10, 9, 22)) \
             * 2.0**-43 * pi
+    elif sf_id in (4, 5):
+        out["data_id"] = _bits_to_uint(_field(sources, 3, 1, 2))
+        sv_id = _bits_to_uint(_field(sources, 3, 3, 8))
+        out["sv_page_id"] = sv_id
+        if sf_id == 4 and sv_id == 56:
+            # page 18: ionosphere (Klobuchar) + UTC (IS-GPS-200 20.3.3.5.1.7)
+            out["iono_alpha"] = (
+                _bits_to_int(_field(sources, 3, 9, 16)) * 2.0**-30,
+                _bits_to_int(_field(sources, 3, 17, 24)) * 2.0**-27,
+                _bits_to_int(_field(sources, 4, 1, 8)) * 2.0**-24,
+                _bits_to_int(_field(sources, 4, 9, 16)) * 2.0**-24,
+            )
+            out["iono_beta"] = (
+                _bits_to_int(_field(sources, 4, 17, 24)) * 2.0**11,
+                _bits_to_int(_field(sources, 5, 1, 8)) * 2.0**14,
+                _bits_to_int(_field(sources, 5, 9, 16)) * 2.0**16,
+                _bits_to_int(_field(sources, 5, 17, 24)) * 2.0**16,
+            )
+            out["utc_a1"] = _bits_to_int(_field(sources, 6, 1, 24)) * 2.0**-50
+            a0 = np.concatenate([_field(sources, 7, 1, 24),
+                                 _field(sources, 8, 1, 8)])
+            out["utc_a0"] = _bits_to_int(a0) * 2.0**-30
+            out["utc_tot_s"] = _bits_to_uint(_field(sources, 8, 9, 16)) \
+                * 2.0**12
+            out["utc_wn_t"] = _bits_to_uint(_field(sources, 8, 17, 24))
+            out["delta_t_ls"] = _bits_to_int(_field(sources, 9, 1, 8))
+        elif 1 <= sv_id <= 32:
+            # almanac page (IS-GPS-200 20.3.3.5.1.2)
+            out["alm_prn"] = sv_id
+            out["alm_ecc"] = _bits_to_uint(_field(sources, 3, 9, 24)) \
+                * 2.0**-21
+            out["alm_toa_s"] = _bits_to_uint(_field(sources, 4, 1, 8)) \
+                * 2.0**12
+            out["alm_delta_i_rad"] = _bits_to_int(_field(sources, 4, 9, 24)) \
+                * 2.0**-19 * pi
+            out["alm_omega_dot_rad_s"] = _bits_to_int(
+                _field(sources, 5, 1, 16)) * 2.0**-38 * pi
+            out["alm_health"] = _bits_to_uint(_field(sources, 5, 17, 24))
+            out["alm_sqrt_a"] = _bits_to_uint(_field(sources, 6, 1, 24)) \
+                * 2.0**-11
+            out["alm_omega0_rad"] = _bits_to_int(_field(sources, 7, 1, 24)) \
+                * 2.0**-23 * pi
+            out["alm_omega_rad"] = _bits_to_int(_field(sources, 8, 1, 24)) \
+                * 2.0**-23 * pi
+            out["alm_m0_rad"] = _bits_to_int(_field(sources, 9, 1, 24)) \
+                * 2.0**-23 * pi
+            af0 = np.concatenate([_field(sources, 10, 1, 8),
+                                  _field(sources, 10, 20, 22)])
+            out["alm_af0"] = _bits_to_int(af0) * 2.0**-20
+            out["alm_af1"] = _bits_to_int(_field(sources, 10, 9, 19)) \
+                * 2.0**-38
     return out
 
 
