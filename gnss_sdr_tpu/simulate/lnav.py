@@ -98,8 +98,45 @@ def _subframe_words(eph: GpsEphemeris, sf_id: int, tow_next_6s: int):
             np.concatenate([_u(eph.iode, 8),
                             _s(eph.idot_rad_s / PI, 14, 2.0**-43)]),
         ]
-    else:  # subframes 4/5: structurally valid filler pages
-        words += [_zeros(24)] * 7 + [_zeros(22)]
+    elif sf_id == 4:
+        # page 18 (sv_id 56): Klobuchar ionosphere + UTC parameters
+        # (IS-GPS-200 20.3.3.5.1.7; attached to the eph as optional
+        # `iono_alpha`/`iono_beta` 4-tuples, zeros otherwise).
+        a = getattr(eph, "iono_alpha", (0.0, 0.0, 0.0, 0.0))
+        b = getattr(eph, "iono_beta", (0.0, 0.0, 0.0, 0.0))
+        words += [
+            np.concatenate([_u(1, 2), _u(56, 6),
+                            _s(a[0], 8, 2.0**-30), _s(a[1], 8, 2.0**-27)]),
+            np.concatenate([_s(a[2], 8, 2.0**-24), _s(a[3], 8, 2.0**-24),
+                            _s(b[0], 8, 2.0**11)]),
+            np.concatenate([_s(b[1], 8, 2.0**14), _s(b[2], 8, 2.0**16),
+                            _s(b[3], 8, 2.0**16)]),
+            _zeros(24),                       # A1
+            _zeros(24),                       # A0 MSBs
+            _zeros(24),                       # A0 LSBs, t_ot, WN_t
+            _zeros(24),                       # dt_LS, WN_LSF, DN
+            _zeros(22),                       # dt_LSF + reserved
+        ]
+    else:
+        # subframe 5 pages 1-24: almanac for this SV (coarse Kepler
+        # subset, IS-GPS-200 20.3.3.5.1.2)
+        m0 = _s(eph.m0_rad / PI, 24, 2.0**-23)
+        om0 = _s(eph.omega0_rad / PI, 24, 2.0**-23)
+        om = _s(eph.omega_rad / PI, 24, 2.0**-23)
+        delta_i = (eph.i0_rad / PI) - 0.3  # relative to the 54 deg ref
+        af0_bits = _s(eph.af0, 11, 2.0**-20)
+        words += [
+            np.concatenate([_u(1, 2), _u(max(1, eph.prn % 33), 6),
+                            _u(eph.ecc, 16, 2.0**-21)]),
+            np.concatenate([_u((eph.toe_s / 4096.0) % 256, 8, 1.0),
+                            _s(delta_i, 16, 2.0**-19)]),
+            np.concatenate([_s(eph.omega_dot_rad_s / PI, 16, 2.0**-38),
+                            _u(eph.sv_health, 8)]),
+            _u(eph.sqrt_a, 24, 2.0**-11),
+            om0, om, m0,
+            np.concatenate([af0_bits[:8], _s(eph.af1, 11, 2.0**-38),
+                            af0_bits[8:]]),  # 22 bits + solved t-bits
+        ]
     return words
 
 

@@ -45,6 +45,54 @@ def test_parity_roundtrip_and_error_detection():
         d29s, d30s = int(word[28]), int(word[29])
 
 
+def test_lnav_subframe45_iono_and_almanac_roundtrip():
+    """Subframe 4 page 18 (Klobuchar + UTC) and subframe 5 almanac pages
+    roundtrip through the encoder/parser pair at ICD quantization
+    (reference: gps_l1_ca_telemetry_decoder_gs.cc subframe-4/5 handling via
+    gps_navigation_message.cc)."""
+    from gnss_sdr_tpu.telemetry.gps_lnav import parse_subframe
+
+    eph = ref_ephemeris()
+    eph.iono_alpha = (1.2e-8, -7.45e-9, -5.96e-8, 1.19e-7)
+    eph.iono_beta = (96256.0, -32768.0, -196608.0, 196608.0)
+    bits = build_lnav_bits(eph, start_tow_6s=17000, n_subframes=5)
+    hard = (bits > 0).astype(np.int64)
+    d29s = d30s = 0
+    parsed = {}
+    for k in range(5):
+        sf = hard[k * 300:(k + 1) * 300]
+        ok, sources = check_subframe(sf, d29s, d30s)
+        assert ok, f"subframe {k} parity"
+        d29s, d30s = int(sf[-2]), int(sf[-1])
+        parsed[k + 1] = parse_subframe(sources)
+
+    sf4 = parsed[4]
+    assert sf4["sv_page_id"] == 56 and sf4["data_id"] == 1
+    for got, want, lsb in zip(sf4["iono_alpha"], eph.iono_alpha,
+                              (2.0**-30, 2.0**-27, 2.0**-24, 2.0**-24)):
+        assert abs(got - want) <= lsb / 2
+    for got, want, lsb in zip(sf4["iono_beta"], eph.iono_beta,
+                              (2.0**11, 2.0**14, 2.0**16, 2.0**16)):
+        assert abs(got - want) <= lsb / 2
+    assert sf4["utc_a0"] == 0.0 and sf4["delta_t_ls"] == 0
+
+    sf5 = parsed[5]
+    assert sf5["alm_prn"] == eph.prn % 33
+    assert abs(sf5["alm_ecc"] - eph.ecc) <= 2.0**-22
+    assert abs(sf5["alm_toa_s"] - eph.toe_s) <= 2.0**11
+    assert abs(sf5["alm_sqrt_a"] - eph.sqrt_a) <= 2.0**-12
+    assert abs(sf5["alm_delta_i_rad"] - (eph.i0_rad - 0.3 * np.pi)) \
+        <= 2.0**-20 * np.pi
+    assert abs(sf5["alm_omega0_rad"] - eph.omega0_rad) <= 2.0**-24 * np.pi
+    assert abs(sf5["alm_omega_rad"] - eph.omega_rad) <= 2.0**-24 * np.pi
+    assert abs(sf5["alm_m0_rad"] - eph.m0_rad) <= 2.0**-24 * np.pi
+    assert abs(sf5["alm_omega_dot_rad_s"] - eph.omega_dot_rad_s) \
+        <= 2.0**-39 * np.pi
+    assert abs(sf5["alm_af0"] - eph.af0) <= 2.0**-21
+    assert abs(sf5["alm_af1"] - eph.af1) <= 2.0**-39
+    assert sf5["alm_health"] == eph.sv_health
+
+
 def test_lnav_stream_roundtrip():
     eph = ref_ephemeris()
     bits = build_lnav_bits(eph, start_tow_6s=17000, n_subframes=5)
