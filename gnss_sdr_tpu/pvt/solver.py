@@ -50,6 +50,7 @@ class PvtSolution:
     lat_rad: float = 0.0
     lon_rad: float = 0.0
     height_m: float = 0.0
+    rx_tow_s: float = 0.0         # receiver-clock TOW of the epoch
 
 
 def _geodist(sat_pos: np.ndarray, rx_pos: np.ndarray) -> tuple[float, np.ndarray]:
@@ -175,4 +176,5 @@ def solve_pvt(
         vel_ecef=vel, clock_drift_s_s=drift,
         gdop=gdop, pdop=pdop, hdop=hdop, vdop=vdop, n_sats=n,
         residuals_m=resid.copy(), lat_rad=lat, lon_rad=lon, height_m=hgt,
+        rx_tow_s=t_rx_tow_s,
     )

@@ -18,7 +18,12 @@ from gnss_sdr_tpu.config import Configuration
 from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
 from gnss_sdr_tpu.sources import FileSignalSource
 
-SUPPORTED_SOURCES = {"File_Signal_Source"}
+SUPPORTED_SOURCES = {
+    "File_Signal_Source",
+    "File_Timestamp_Signal_Source",
+    "Fifo_Signal_Source",
+    "Custom_UDP_Signal_Source",
+}
 SUPPORTED_ACQ = {"GPS_L1_CA_PCPS_Acquisition"}
 SUPPORTED_TRK = {"GPS_L1_CA_DLL_PLL_Tracking"}
 SUPPORTED_TLM = {"GPS_L1_CA_Telemetry_Decoder"}
@@ -33,18 +38,45 @@ def _check(name: str, value: str, supported: set[str]) -> None:
             f"supported: {sorted(supported)}")
 
 
-def make_signal_source(config: Configuration) -> FileSignalSource | None:
+def make_signal_source(config: Configuration):
     impl = config.property("SignalSource.implementation", "")
     if not impl:
         return None
     _check("SignalSource", impl, SUPPORTED_SOURCES)
-    fs = config.property(
+    fs = float(config.property(
         "GNSS-SDR.internal_fs_sps",
-        config.property("SignalSource.sampling_frequency", 4_000_000))
+        config.property("SignalSource.sampling_frequency", 4_000_000)))
+    item_type = config.property("SignalSource.item_type", "gr_complex")
+    if impl == "Fifo_Signal_Source":
+        from gnss_sdr_tpu.sources import FifoSignalSource
+
+        return FifoSignalSource(
+            config.property("SignalSource.filename", ""), fs,
+            item_type=config.property("SignalSource.sample_type", item_type))
+    if impl == "Custom_UDP_Signal_Source":
+        from gnss_sdr_tpu.sources import UdpSignalSource
+
+        return UdpSignalSource(
+            port=config.property("SignalSource.port", 1234),
+            sampling_frequency=fs,
+            sample_type=config.property("SignalSource.sample_type", "cbyte"),
+            iq_swap=config.property("SignalSource.IQ_swap", False),
+            address=config.property("SignalSource.origin_address",
+                                    "127.0.0.1"))
+    if impl == "File_Timestamp_Signal_Source":
+        from gnss_sdr_tpu.sources import FileTimestampSignalSource
+
+        return FileTimestampSignalSource(
+            config.property("SignalSource.filename", ""),
+            config.property("SignalSource.timestamp_filename", ""),
+            sampling_frequency=fs, item_type=item_type,
+            timestamp_clock_offset_ms=config.property(
+                "SignalSource.timestamp_clock_offset_ms", 0.0),
+            samples=config.property("SignalSource.samples", 0))
     return FileSignalSource(
         config.property("SignalSource.filename", ""),
-        sampling_frequency=float(fs),
-        item_type=config.property("SignalSource.item_type", "gr_complex"),
+        sampling_frequency=fs,
+        item_type=item_type,
         samples=config.property("SignalSource.samples", 0),
         repeat=config.property("SignalSource.repeat", False),
     )

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnss_sdr_tpu.pvt.solver import Observation
-from gnss_sdr_tpu.pvt import solve_pvt
+from gnss_sdr_tpu.pvt import GpsEphemeris, solve_pvt
 from gnss_sdr_tpu.receiver.fsm import ChannelState
 from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
 from gnss_sdr_tpu.tracking.fast_engine import FastTrackingEngine
@@ -135,6 +135,13 @@ class ProductionReceiver:
                             dopp,
                             float(rec.tracking.acc_carrier_phase_rad[ch]),
                             cn0)
+                if dec.has_full_ephemeris() and f.prn not in rec.ephemerides:
+                    rec.ephemerides[f.prn] = GpsEphemeris.from_fields(
+                        f.prn, dec.ephemeris_fields)
+                if rec.iono is None \
+                        and any(dec.utc_iono_fields.get("iono_alpha", ())):
+                    rec.iono = (dec.utc_iono_fields["iono_alpha"],
+                                dec.utc_iono_fields["iono_beta"])
                 if out["loss_of_lock"][g, ch]:
                     f.loss_of_lock()
                     rec.observables.reset_channel(ch)
@@ -156,8 +163,11 @@ class ProductionReceiver:
                    if row.prn in rec.ephemerides and row.prn != 0]
             if len(obs) < 4:
                 continue
+            iono = rec.iono if rec.cfg.apply_iono else None
             sol = solve_pvt(obs, rx_tow_ms * 1e-3,
-                            apply_tropo=rec.cfg.apply_tropo)
+                            apply_tropo=rec.cfg.apply_tropo,
+                            iono_alpha=iono[0] if iono else None,
+                            iono_beta=iono[1] if iono else None)
             if sol.valid:
                 rec._last_solve_tow_ms = rx_tow_ms
                 rec.solutions.append(sol)

@@ -61,6 +61,7 @@ class ReceiverConfig:
     interval_ms: int = 20
     output_rate_ms: int = 100
     apply_tropo: bool = False
+    apply_iono: bool = True   # uses decoded subframe-4 Klobuchar terms
     enable_carrier_smoothing: bool = False
     smoothing_factor: int = 200
 
@@ -102,6 +103,7 @@ class Receiver:
             fs, cfg.interval_ms, cfg.n_channels,
             enable_carrier_smoothing=cfg.enable_carrier_smoothing,
             smoothing_factor=cfg.smoothing_factor)
+        self.iono: tuple | None = None  # (alpha, beta) from SF4 page 18
         self.ephemerides: dict[int, GpsEphemeris] = dict(
             assisted_ephemeris or {})
         self.solutions: list[PvtSolution] = []
@@ -271,6 +273,13 @@ class Receiver:
             if dec.has_full_ephemeris() and fsm.prn not in self.ephemerides:
                 self.ephemerides[fsm.prn] = GpsEphemeris.from_fields(
                     fsm.prn, dec.ephemeris_fields)
+            if self.iono is None and "iono_alpha" in dec.utc_iono_fields \
+                    and any(dec.utc_iono_fields["iono_alpha"]):
+                # subframe 4 page 18 from any channel serves all of PVT
+                # (rtklib_pvt uses the flowgraph-wide broadcast iono);
+                # all-zero pages carry no model and are ignored
+                self.iono = (dec.utc_iono_fields["iono_alpha"],
+                             dec.utc_iono_fields["iono_beta"])
             # state 2 -> 3: extended coherent integration after bit sync
             if (self.cfg.extend_correlation_symbols > 1
                     and not self._extended[ch]
@@ -303,8 +312,11 @@ class Receiver:
             ]
             if len(obs) < 4:
                 continue
+            iono = self.iono if self.cfg.apply_iono else None
             sol = solve_pvt(obs, rx_tow_ms * 1e-3,
-                            apply_tropo=self.cfg.apply_tropo)
+                            apply_tropo=self.cfg.apply_tropo,
+                            iono_alpha=iono[0] if iono else None,
+                            iono_beta=iono[1] if iono else None)
             if sol.valid:
                 self._last_solve_tow_ms = rx_tow_ms
                 self.solutions.append(sol)

@@ -44,11 +44,17 @@ def generate_scene(
     ``bits_start_tow_s`` must be a subframe boundary (multiple of 6 s);
     each satellite transmits its LNAV stream from that boundary. The
     receiver clock is ideal (sample n at GPS time t_start + n/fs).
+
+    ``rx_ecef`` is a fixed [3] ECEF position, or a callable
+    ``t_gps_s -> [3]`` for a moving receiver (dynamic scenarios — the
+    reference's position_test with a Spirent motion file); the antenna
+    position is evaluated at each *reception* time on the tau grid.
     """
     n = int(round(fs * duration_s))
     t_rel = np.arange(n) / fs
     out = None
     rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
 
     # light-time grid (tau is smooth; quadratic error of linear interp over
     # 1/tau_grid_hz is sub-mm)
@@ -59,7 +65,8 @@ def generate_scene(
         eph = ephs[prn]
         taus = np.empty(n_grid)
         for i, tg in enumerate(t_grid):
-            rho, _, _ = true_range_and_rate(eph, rx_ecef, tg)
+            rho, _, _ = true_range_and_rate(
+                eph, np.asarray(rx_of(tg), dtype=float), tg)
             taus[i] = rho / SPEED_OF_LIGHT_M_S
         tau_t = np.interp(t_start + t_rel, t_grid, taus)
         # satellite clock (as observable on L1: clock minus TGD)

@@ -9,6 +9,12 @@ src/algorithms/signal_source/gnuradio_blocks/unpack_*.cc).
 """
 
 from gnss_sdr_tpu.sources.file_source import FileSignalSource, ITEM_TYPES
+from gnss_sdr_tpu.sources.live import (
+    FifoSignalSource,
+    FileTimestampSignalSource,
+    TimeTag,
+    UdpSignalSource,
+)
 from gnss_sdr_tpu.sources.unpack import (
     unpack_2bit_samples,
     unpack_byte_2bit_cpx_samples,
@@ -16,6 +22,10 @@ from gnss_sdr_tpu.sources.unpack import (
 
 __all__ = [
     "FileSignalSource",
+    "FifoSignalSource",
+    "FileTimestampSignalSource",
+    "TimeTag",
+    "UdpSignalSource",
     "ITEM_TYPES",
     "unpack_2bit_samples",
     "unpack_byte_2bit_cpx_samples",

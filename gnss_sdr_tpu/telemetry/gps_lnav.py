@@ -284,6 +284,7 @@ class GpsLnavDecoder:
         self.tow_at_last_symbol_ms: float | None = None
         self.subframes: list[TowUpdate] = []
         self.ephemeris_fields: dict = {}
+        self.utc_iono_fields: dict = {}
         self.prev_d29 = 0
         self.prev_d30 = 0
 
@@ -384,6 +385,9 @@ class GpsLnavDecoder:
         self.subframes.append(update)
         if fields["subframe_id"] in (1, 2, 3):
             self.ephemeris_fields.update(fields)
+        elif "iono_alpha" in fields:
+            # subframe 4 page 18: broadcast ionosphere/UTC for the PVT layer
+            self.utc_iono_fields.update(fields)
         return update
 
     def has_full_ephemeris(self) -> bool:

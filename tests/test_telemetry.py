@@ -93,6 +93,23 @@ def test_lnav_subframe45_iono_and_almanac_roundtrip():
     assert sf5["alm_health"] == eph.sv_health
 
 
+def test_streaming_decoder_collects_iono():
+    """The streaming decoder exposes subframe-4 Klobuchar terms via
+    utc_iono_fields (consumed by the receiver's PVT layer like
+    rtklib_pvt's broadcast iono)."""
+    eph = ref_ephemeris()
+    eph.iono_alpha = (1.2e-8, -7.45e-9, -5.96e-8, 1.19e-7)
+    eph.iono_beta = (96256.0, -32768.0, -196608.0, 196608.0)
+    bits = build_lnav_bits(eph, start_tow_6s=9000, n_subframes=6)
+    dec = GpsLnavDecoder()
+    for i, b in enumerate(bits):
+        for _ in range(20):  # 20 code periods per bit
+            dec.feed(float(b), i * 20)
+    assert "iono_alpha" in dec.utc_iono_fields
+    a = dec.utc_iono_fields["iono_alpha"]
+    assert abs(a[0] - eph.iono_alpha[0]) <= 2.0**-31
+
+
 def test_lnav_stream_roundtrip():
     eph = ref_ephemeris()
     bits = build_lnav_bits(eph, start_tow_6s=17000, n_subframes=5)
