@@ -7,5 +7,6 @@ offload variants (SURVEY.md section 2.5).
 """
 
 from gnss_sdr_tpu.acquisition.pcps import AcqConfig, AcqResult, PcpsAcquisition
+from gnss_sdr_tpu.acquisition.tong import TongAcquisition
 
-__all__ = ["AcqConfig", "AcqResult", "PcpsAcquisition"]
+__all__ = ["AcqConfig", "AcqResult", "PcpsAcquisition", "TongAcquisition"]
