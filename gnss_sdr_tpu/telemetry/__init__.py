@@ -11,5 +11,12 @@ from gnss_sdr_tpu.telemetry.gps_lnav import (
     encode_word,
     parse_subframe,
 )
+from gnss_sdr_tpu.telemetry.reed_solomon import ReedSolomon
+from gnss_sdr_tpu.telemetry.galileo_cnav import GalileoCnavDecoder, HasPage
+from gnss_sdr_tpu.telemetry.galileo_has import HasData, HasMessageReceiver
 
-__all__ = ["GpsLnavDecoder", "check_word", "encode_word", "parse_subframe"]
+__all__ = [
+    "GpsLnavDecoder", "check_word", "encode_word", "parse_subframe",
+    "ReedSolomon", "GalileoCnavDecoder", "HasPage", "HasData",
+    "HasMessageReceiver",
+]
