@@ -1,0 +1,9 @@
+"""Generated protobuf modules for the UDP monitor wire formats.
+
+Regenerate with:
+  protoc --python_out=. gnss_synchro.proto monitor_pvt.proto nav_message.proto
+"""
+
+from gnss_sdr_tpu.monitor.proto import gnss_synchro_pb2  # noqa: F401
+from gnss_sdr_tpu.monitor.proto import monitor_pvt_pb2  # noqa: F401
+from gnss_sdr_tpu.monitor.proto import nav_message_pb2  # noqa: F401

@@ -76,15 +76,75 @@ def test_tracking_dump(tmp_path):
     assert mat["carrier_doppler_hz"].flatten()[0] == np.float64(1234.5)
 
 
-def test_udp_monitor_roundtrip():
+def test_udp_monitor_json_roundtrip():
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    mon = UdpMonitor("127.0.0.1", port, wire="json")
+    mon.send_observables([_fake_period()])
+    data, _ = rx.recvfrom(65536)
+    rows = json.loads(data)
+    assert rows[0]["PRN"] == 7 and rows[0]["CN0_dB_hz"] == 44.5
+    mon.close()
+    rx.close()
+
+
+def test_udp_monitor_protobuf_roundtrip():
+    """Default wire format is the reference's protobuf schema
+    (docs/protobuf/gnss_synchro.proto field numbering)."""
+    from gnss_sdr_tpu.monitor.udp_monitor import (
+        decode_observables, decode_monitor_pvt, decode_nav_message)
+
     rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     rx.bind(("127.0.0.1", 0))
     rx.settimeout(2.0)
     port = rx.getsockname()[1]
     mon = UdpMonitor("127.0.0.1", port)
+    assert mon.wire == "protobuf"
     mon.send_observables([_fake_period()])
     data, _ = rx.recvfrom(65536)
-    rows = json.loads(data)
-    assert rows[0]["PRN"] == 7 and rows[0]["CN0_dB_hz"] == 44.5
+    obs = decode_observables(data)
+    assert obs[0].prn == 7
+    assert obs[0].cn0_db_hz == 44.5
+    assert obs[0].flag_valid_symbol_output
+
+    # full GnssSynchro dataclass path
+    from gnss_sdr_tpu.core_types import GnssSynchro
+    s = GnssSynchro(system="G", signal="1C", prn=12, channel_id=3,
+                    cn0_db_hz=39.25, pseudorange_m=22_222_333.4,
+                    flag_valid_pseudorange=True, evm=0.07)
+    mon.send_observables([s])
+    data, _ = rx.recvfrom(65536)
+    obs = decode_observables(data)
+    assert obs[0].system == "G" and obs[0].prn == 12
+    assert obs[0].pseudorange_m == 22_222_333.4
+    assert obs[0].flag_valid_pseudorange
+    assert obs[0].evm == 0.07
+
+    # PVT message
+    class Sol:
+        rx_time_s = 345678.9
+        clock_bias_s = 1.2e-6
+        pos_ecef = (1.0e6, 2.0e6, 3.0e6)
+        vel_ecef = (1.0, -2.0, 3.0)
+        lat_rad = 0.72
+        lon_rad = 0.02
+        height_m = 120.5
+        n_sats = 9
+        gdop, pdop, hdop, vdop = 2.1, 1.8, 1.0, 1.5
+    mon.send_pvt(Sol())
+    data, _ = rx.recvfrom(65536)
+    pvt = decode_monitor_pvt(data)
+    assert pvt.valid_sats == 9
+    np.testing.assert_allclose(pvt.latitude, np.degrees(0.72))
+    np.testing.assert_allclose(pvt.pos_x, 1.0e6)
+
+    # nav message
+    mon.send_nav_message(system="G", signal="1C", prn=5, tow_ms=123000,
+                         bits="10" * 150)
+    data, _ = rx.recvfrom(65536)
+    nav = decode_nav_message(data)
+    assert nav.prn == 5 and nav.nav_message == "10" * 150
     mon.close()
     rx.close()
