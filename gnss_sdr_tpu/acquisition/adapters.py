@@ -130,3 +130,140 @@ def make_gps_l1ca_acquisition(
         setattr(cfg, key, value)
     codes = gps_l1ca_replicas(prns, fs, cfg.sampled_ms)
     return PcpsAcquisition(cfg, codes)
+
+
+# ---------------------------------------------------------------------------
+# Full per-signal replica catalogue + implementation-name registry
+# (reference registry: gnss_block_factory.cc:1345-1500 GetAcqBlock)
+# ---------------------------------------------------------------------------
+
+
+def signal_replicas(suffix: str, prns, fs: float, sampled_ms: int = 0,
+                    component: str | None = None) -> dict[int, np.ndarray]:
+    """Sampled complex acquisition replicas for any supported signal.
+
+    The per-signal chip sources mirror the reference adapters'
+    *_code_gen_complex_sampled calls (src/algorithms/acquisition/adapters/).
+    GLONASS FDMA slots all share the single m-sequence; the per-slot
+    carrier offset is handled as a Doppler center, not in the code.
+    """
+    from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
+    from gnss_sdr_tpu.codes.beidou_b3i import beidou_b3i_code
+    from gnss_sdr_tpu.codes.galileo_e5a import galileo_e5a_code
+    from gnss_sdr_tpu.codes.galileo_e5b_e6 import (galileo_e5b_code,
+                                                   galileo_e6_code)
+    from gnss_sdr_tpu.codes.glonass_l1ca import glonass_l1ca_code
+    from gnss_sdr_tpu.codes.gps_l2c import gps_l2cm_code
+    from gnss_sdr_tpu.codes.gps_l5 import gps_l5i_code, gps_l5q_code
+
+    sig = get_signal(suffix)
+    sampled_ms = sampled_ms or int(round(sig.code_period_ms))
+    periods = max(1, int(round(sampled_ms / sig.code_period_ms)))
+
+    def chips_for(prn: int) -> np.ndarray:
+        if suffix == "1C":
+            return gps_l1ca_code(prn)
+        if suffix == "2S":
+            return gps_l2cm_code(prn)
+        if suffix == "L5":
+            return (gps_l5q_code(prn) if component == "Q"
+                    else gps_l5i_code(prn))
+        if suffix == "5X":
+            return galileo_e5a_code(prn, component or "I")
+        if suffix == "7X":
+            return galileo_e5b_code(prn, component or "I")
+        if suffix == "E6":
+            return galileo_e6_code(prn, component or "B")
+        if suffix in ("1G", "2G"):
+            return glonass_l1ca_code()
+        if suffix == "B1":
+            return beidou_b1i_code(prn)
+        if suffix == "B3":
+            return beidou_b3i_code(prn)
+        raise ValueError(f"no acquisition replica source for {suffix!r}")
+
+    if suffix == "1B":
+        one = galileo_e1_replicas(prns, fs, component or "B", cboc=True)
+        return {prn: np.tile(code, periods) for prn, code in one.items()}
+    out = {}
+    for prn in prns:
+        one = sample_code(chips_for(prn), fs,
+                          sig.chip_rate_cps).astype(np.complex64)
+        out[prn] = np.tile(one, periods)
+    return out
+
+
+def make_acquisition(implementation: str, prns, fs: float,
+                     config: Configuration | None = None,
+                     role: str | None = None, **overrides):
+    """Instantiate an acquisition engine from a reference implementation
+    name (GNSSBlockFactory::GetAcqBlock counterpart). Raises ValueError
+    with the list of known names on an unknown implementation."""
+    spec = ACQ_IMPLEMENTATIONS.get(implementation)
+    if spec is None:
+        raise ValueError(
+            f"Unknown acquisition implementation {implementation!r}; "
+            f"known: {sorted(ACQ_IMPLEMENTATIONS)}")
+    suffix, variant, defaults = spec
+    role = role or f"Acquisition_{suffix}"
+    if config is not None:
+        cfg = acq_config_from(config, role, fs, suffix)
+    else:
+        sig = get_signal(suffix)
+        cfg = AcqConfig(
+            fs=fs, samples_per_code=sig.samples_per_code(fs),
+            code_length_chips=sig.code_length_chips,
+            ms_per_code=int(round(sig.code_period_ms)),
+            sampled_ms=int(round(sig.code_period_ms)),
+        )
+    for key, value in {**defaults, **overrides}.items():
+        setattr(cfg, key, value)
+    if variant == "cccwsr":
+        from gnss_sdr_tpu.acquisition.variants import CccwsrAcquisition
+
+        data = signal_replicas(suffix, prns, fs, cfg.sampled_ms, "B")
+        pilot = signal_replicas(suffix, prns, fs, cfg.sampled_ms, "C")
+        return CccwsrAcquisition(cfg, data, pilot)
+    codes = signal_replicas(suffix, prns, fs, cfg.sampled_ms)
+    if variant == "quicksync":
+        from gnss_sdr_tpu.acquisition.variants import QuickSyncAcquisition
+
+        folding = (config.property(f"{role}.folding_factor", 2)
+                   if config is not None else overrides.get("folding_factor", 2))
+        return QuickSyncAcquisition(cfg, codes, folding_factor=int(folding))
+    if variant == "tong":
+        from gnss_sdr_tpu.acquisition.tong import TongAcquisition
+
+        return TongAcquisition(cfg, codes)
+    return PcpsAcquisition(cfg, codes)
+
+
+# implementation name -> (signal suffix, engine variant, AcqConfig overrides)
+ACQ_IMPLEMENTATIONS: dict[str, tuple[str, str, dict]] = {
+    "GPS_L1_CA_PCPS_Acquisition": ("1C", "pcps", {}),
+    "GPS_L1_CA_PCPS_Assisted_Acquisition": ("1C", "pcps", {}),
+    "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler": (
+        "1C", "pcps", {"make_2_steps": True}),
+    "GPS_L1_CA_PCPS_Tong_Acquisition": ("1C", "tong", {}),
+    "GPS_L1_CA_PCPS_QuickSync_Acquisition": ("1C", "quicksync", {}),
+    "GPS_L2_M_PCPS_Acquisition": ("2S", "pcps", {"sampled_ms": 20}),
+    "GPS_L5i_PCPS_Acquisition": ("L5", "pcps", {}),
+    "Galileo_E1_PCPS_Ambiguous_Acquisition": (
+        "1B", "pcps", {"sampled_ms": 4}),
+    "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition": (
+        "1B", "pcps", {"sampled_ms": 8}),
+    "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition": (
+        "1B", "cccwsr", {"sampled_ms": 4}),
+    "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition": (
+        "1B", "tong", {"sampled_ms": 4}),
+    "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition": (
+        "1B", "quicksync", {"sampled_ms": 4}),
+    "Galileo_E5a_Pcps_Acquisition": ("5X", "pcps", {}),
+    "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF": ("5X", "pcps", {}),
+    "Galileo_E5b_PCPS_Acquisition": ("7X", "pcps", {}),
+    "Galileo_E6_PCPS_Acquisition": ("E6", "pcps", {}),
+    "GLONASS_L1_CA_PCPS_Acquisition": ("1G", "pcps", {}),
+    "GLONASS_L2_CA_PCPS_Acquisition": ("2G", "pcps", {}),
+    "BEIDOU_B1I_PCPS_Acquisition": ("B1", "pcps", {}),
+    "BEIDOU_B3I_PCPS_Acquisition": ("B3", "pcps", {}),
+}

@@ -24,7 +24,15 @@ SUPPORTED_SOURCES = {
     "Fifo_Signal_Source",
     "Custom_UDP_Signal_Source",
 }
-SUPPORTED_ACQ = {"GPS_L1_CA_PCPS_Acquisition"}
+# every name in the acquisition registry instantiates standalone via
+# acquisition.adapters.make_acquisition; the full-receiver chain is GPS L1
+# this round (the _check below gates what `make_receiver` wires end-to-end)
+from gnss_sdr_tpu.acquisition.adapters import (  # noqa: E402
+    ACQ_IMPLEMENTATIONS as SUPPORTED_ACQ_STANDALONE)
+
+SUPPORTED_ACQ = {"GPS_L1_CA_PCPS_Acquisition",
+                 "GPS_L1_CA_PCPS_Assisted_Acquisition",
+                 "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler"}
 SUPPORTED_TRK = {"GPS_L1_CA_DLL_PLL_Tracking"}
 SUPPORTED_TLM = {"GPS_L1_CA_Telemetry_Decoder"}
 SUPPORTED_OBS = {"Hybrid_Observables"}
