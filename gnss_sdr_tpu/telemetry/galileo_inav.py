@@ -195,6 +195,91 @@ def parse_inav_word(data128: np.ndarray) -> dict:
         out["bgd_e1e5b_s"] = _s(d[57:67]) * 2.0**-32
         out["week_number"] = _u(d[73:85])
         out["tow_s"] = _u(d[85:105])
+    elif wtype == 6:
+        # GST-UTC conversion (Galileo_INAV.h:144-155)
+        out["a0_s"] = _s(d[6:38]) * 2.0**-30
+        out["a1_s_s"] = _s(d[38:62]) * 2.0**-50
+        out["delta_t_ls_s"] = _s(d[62:70])
+        out["t0t_s"] = _u(d[70:78]) * 3600.0
+        out["wn_ot"] = _u(d[78:86])
+        out["wn_lsf"] = _u(d[86:94])
+        out["dn"] = _u(d[94:97])
+        out["delta_t_lsf_s"] = _s(d[97:105])
+        out["tow_s"] = _u(d[105:125])
+    elif wtype == 7:
+        # almanac 1/3 for SVID1 (Galileo_INAV.h:156-176)
+        out["iod_a"] = _u(d[6:10])
+        out["wn_a"] = _u(d[10:12])
+        out["t0a_s"] = _u(d[12:22]) * 600.0
+        out["svid1"] = _u(d[22:28])
+        out["delta_sqrt_a"] = _s(d[28:41]) * 2.0**-9
+        out["ecc"] = _u(d[41:52]) * 2.0**-16
+        out["omega_rad"] = _s(d[52:68]) * 2.0**-15 * PI
+        out["delta_i_rad"] = _s(d[68:79]) * 2.0**-14 * PI
+        out["omega0_rad"] = _s(d[79:95]) * 2.0**-15 * PI
+        out["omega_dot_rad_s"] = _s(d[95:106]) * 2.0**-33 * PI
+        out["m0_rad"] = _s(d[106:122]) * 2.0**-15 * PI
+    elif wtype == 8:
+        # almanac 2/3: SVID1 clock + SVID2 orbit (Galileo_INAV.h:178-199)
+        out["iod_a"] = _u(d[6:10])
+        out["af0_s"] = _s(d[10:26]) * 2.0**-19
+        out["af1_s_s"] = _s(d[26:39]) * 2.0**-38
+        out["e5b_hs"] = _u(d[39:41])
+        out["e1b_hs"] = _u(d[41:43])
+        out["svid2"] = _u(d[43:49])
+        out["delta_sqrt_a"] = _s(d[49:62]) * 2.0**-9
+        out["ecc"] = _u(d[62:73]) * 2.0**-16
+        out["omega_rad"] = _s(d[73:89]) * 2.0**-15 * PI
+        out["delta_i_rad"] = _s(d[89:100]) * 2.0**-14 * PI
+        out["omega0_rad"] = _s(d[100:116]) * 2.0**-15 * PI
+        out["omega_dot_rad_s"] = _s(d[116:127]) * 2.0**-33 * PI
+    elif wtype == 9:
+        # almanac 3/3: SVID2 clock + SVID3 orbit start (Galileo_INAV.h:201-223)
+        out["iod_a"] = _u(d[6:10])
+        out["wn_a"] = _u(d[10:12])
+        out["t0a_s"] = _u(d[12:22]) * 600.0
+        out["m0_rad"] = _s(d[22:38]) * 2.0**-15 * PI
+        out["af0_s"] = _s(d[38:54]) * 2.0**-19
+        out["af1_s_s"] = _s(d[54:67]) * 2.0**-38
+        out["e5b_hs"] = _u(d[67:69])
+        out["e1b_hs"] = _u(d[69:71])
+        out["svid3"] = _u(d[71:77])
+        out["delta_sqrt_a"] = _s(d[77:90]) * 2.0**-9
+        out["ecc"] = _u(d[90:101]) * 2.0**-16
+        out["omega_rad"] = _s(d[101:117]) * 2.0**-15 * PI
+        out["delta_i_rad"] = _s(d[117:128]) * 2.0**-14 * PI
+    elif wtype == 10:
+        # almanac end + GST-GPS conversion (Galileo_INAV.h:225-248)
+        out["iod_a"] = _u(d[6:10])
+        out["omega0_rad"] = _s(d[10:26]) * 2.0**-15 * PI
+        out["omega_dot_rad_s"] = _s(d[26:37]) * 2.0**-33 * PI
+        out["m0_rad"] = _s(d[37:53]) * 2.0**-15 * PI
+        out["af0_s"] = _s(d[53:69]) * 2.0**-19
+        out["af1_s_s"] = _s(d[69:82]) * 2.0**-38
+        out["e5b_hs"] = _u(d[82:84])
+        out["e1b_hs"] = _u(d[84:86])
+        out["a0g_s"] = _s(d[86:102]) * 2.0**-35
+        out["a1g_s_s"] = _s(d[102:114]) * 2.0**-51
+        out["t0g_s"] = _u(d[114:122]) * 3600.0
+        out["wn0g"] = _u(d[122:128])
+    elif wtype == 16:
+        # reduced CED (Galileo_INAV.h:250-265)
+        out["delta_a_red_m"] = _s(d[6:11]) * 2.0**8
+        out["ex_red"] = _s(d[11:24]) * 2.0**-22
+        out["ey_red"] = _s(d[24:37]) * 2.0**-22
+        out["delta_i0_red_rad"] = _s(d[37:54]) * 2.0**-22 * PI
+        out["omega0_red_rad"] = _s(d[54:77]) * 2.0**-22 * PI
+        out["lambda0_red_rad"] = _s(d[77:100]) * 2.0**-22 * PI
+        out["af0_red_s"] = _s(d[100:122]) * 2.0**-26
+        out["af1_red_s_s"] = _s(d[122:128]) * 2.0**-35
+    elif wtype in (17, 18, 19, 20):
+        # FEC2 Reed-Solomon parity for CED (Galileo_INAV.h:266-275):
+        # gamma octet 0 at bits 6..14, IODnav LSBs at 14..16, 14 more octets
+        out["iodnav_lsbs"] = _u(d[14:16])
+        octets = [_u(d[6:14])]
+        for i in range(14):
+            octets.append(_u(d[16 + 8 * i:24 + 8 * i]))
+        out["rs_parity_octets"] = octets
     elif wtype == 0:
         out["time_flags"] = _u(d[6:8])
         out["week_number"] = _u(d[96:108])
@@ -262,6 +347,84 @@ def build_inav_word(fields: dict) -> np.ndarray:
         put_s(57, 67, fields.get("bgd_e1e5b_s", 0.0), 2.0**-32)
         put_u(73, 85, fields["week_number"])
         put_u(85, 105, fields["tow_s"])
+    elif wtype == 6:
+        put_s(6, 38, fields.get("a0_s", 0.0), 2.0**-30)
+        put_s(38, 62, fields.get("a1_s_s", 0.0), 2.0**-50)
+        put_s(62, 70, fields.get("delta_t_ls_s", 18))
+        put_u(70, 78, fields.get("t0t_s", 0.0), 3600.0)
+        put_u(78, 86, fields.get("wn_ot", 0))
+        put_u(86, 94, fields.get("wn_lsf", 0))
+        put_u(94, 97, fields.get("dn", 0))
+        put_s(97, 105, fields.get("delta_t_lsf_s", 18))
+        put_u(105, 125, fields.get("tow_s", 0))
+    elif wtype == 7:
+        put_u(6, 10, fields.get("iod_a", 0))
+        put_u(10, 12, fields.get("wn_a", 0))
+        put_u(12, 22, fields.get("t0a_s", 0.0), 600.0)
+        put_u(22, 28, fields.get("svid1", 1))
+        put_s(28, 41, fields.get("delta_sqrt_a", 0.0), 2.0**-9)
+        put_u(41, 52, fields.get("ecc", 0.0), 2.0**-16)
+        put_s(52, 68, fields.get("omega_rad", 0.0) / PI, 2.0**-15)
+        put_s(68, 79, fields.get("delta_i_rad", 0.0) / PI, 2.0**-14)
+        put_s(79, 95, fields.get("omega0_rad", 0.0) / PI, 2.0**-15)
+        put_s(95, 106, fields.get("omega_dot_rad_s", 0.0) / PI, 2.0**-33)
+        put_s(106, 122, fields.get("m0_rad", 0.0) / PI, 2.0**-15)
+    elif wtype == 8:
+        put_u(6, 10, fields.get("iod_a", 0))
+        put_s(10, 26, fields.get("af0_s", 0.0), 2.0**-19)
+        put_s(26, 39, fields.get("af1_s_s", 0.0), 2.0**-38)
+        put_u(39, 41, fields.get("e5b_hs", 0))
+        put_u(41, 43, fields.get("e1b_hs", 0))
+        put_u(43, 49, fields.get("svid2", 2))
+        put_s(49, 62, fields.get("delta_sqrt_a", 0.0), 2.0**-9)
+        put_u(62, 73, fields.get("ecc", 0.0), 2.0**-16)
+        put_s(73, 89, fields.get("omega_rad", 0.0) / PI, 2.0**-15)
+        put_s(89, 100, fields.get("delta_i_rad", 0.0) / PI, 2.0**-14)
+        put_s(100, 116, fields.get("omega0_rad", 0.0) / PI, 2.0**-15)
+        put_s(116, 127, fields.get("omega_dot_rad_s", 0.0) / PI, 2.0**-33)
+    elif wtype == 9:
+        put_u(6, 10, fields.get("iod_a", 0))
+        put_u(10, 12, fields.get("wn_a", 0))
+        put_u(12, 22, fields.get("t0a_s", 0.0), 600.0)
+        put_s(22, 38, fields.get("m0_rad", 0.0) / PI, 2.0**-15)
+        put_s(38, 54, fields.get("af0_s", 0.0), 2.0**-19)
+        put_s(54, 67, fields.get("af1_s_s", 0.0), 2.0**-38)
+        put_u(67, 69, fields.get("e5b_hs", 0))
+        put_u(69, 71, fields.get("e1b_hs", 0))
+        put_u(71, 77, fields.get("svid3", 3))
+        put_s(77, 90, fields.get("delta_sqrt_a", 0.0), 2.0**-9)
+        put_u(90, 101, fields.get("ecc", 0.0), 2.0**-16)
+        put_s(101, 117, fields.get("omega_rad", 0.0) / PI, 2.0**-15)
+        put_s(117, 128, fields.get("delta_i_rad", 0.0) / PI, 2.0**-14)
+    elif wtype == 10:
+        put_u(6, 10, fields.get("iod_a", 0))
+        put_s(10, 26, fields.get("omega0_rad", 0.0) / PI, 2.0**-15)
+        put_s(26, 37, fields.get("omega_dot_rad_s", 0.0) / PI, 2.0**-33)
+        put_s(37, 53, fields.get("m0_rad", 0.0) / PI, 2.0**-15)
+        put_s(53, 69, fields.get("af0_s", 0.0), 2.0**-19)
+        put_s(69, 82, fields.get("af1_s_s", 0.0), 2.0**-38)
+        put_u(82, 84, fields.get("e5b_hs", 0))
+        put_u(84, 86, fields.get("e1b_hs", 0))
+        put_s(86, 102, fields.get("a0g_s", 0.0), 2.0**-35)
+        put_s(102, 114, fields.get("a1g_s_s", 0.0), 2.0**-51)
+        put_u(114, 122, fields.get("t0g_s", 0.0), 3600.0)
+        put_u(122, 128, fields.get("wn0g", 0))
+    elif wtype == 16:
+        put_s(6, 11, fields.get("delta_a_red_m", 0.0), 2.0**8)
+        put_s(11, 24, fields.get("ex_red", 0.0), 2.0**-22)
+        put_s(24, 37, fields.get("ey_red", 0.0), 2.0**-22)
+        put_s(37, 54, fields.get("delta_i0_red_rad", 0.0) / PI, 2.0**-22)
+        put_s(54, 77, fields.get("omega0_red_rad", 0.0) / PI, 2.0**-22)
+        put_s(77, 100, fields.get("lambda0_red_rad", 0.0) / PI, 2.0**-22)
+        put_s(100, 122, fields.get("af0_red_s", 0.0), 2.0**-26)
+        put_s(122, 128, fields.get("af1_red_s_s", 0.0), 2.0**-35)
+    elif wtype in (17, 18, 19, 20):
+        octets = fields["rs_parity_octets"]
+        assert len(octets) == 15
+        put_u(6, 14, octets[0])
+        put_u(14, 16, fields.get("iodnav_lsbs", 0))
+        for i in range(14):
+            put_u(16 + 8 * i, 24 + 8 * i, octets[i + 1])
     elif wtype == 0:
         put_u(6, 8, fields.get("time_flags", 2))
         put_u(96, 108, fields["week_number"])
