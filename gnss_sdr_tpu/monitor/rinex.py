@@ -1,10 +1,12 @@
-"""RINEX 3.02 writers (observation + GPS navigation), compact subset.
+"""RINEX 3.02 writers: multi-GNSS observation + navigation files.
 
 Counterpart of the reference's RINEX printer
 (/root/reference/src/algorithms/PVT/libs/rinex_printer.cc — 13.5k LoC
-covering every constellation/version; here: RINEX 3.02, GPS L1 C/A
-observables C1C/L1C/D1C/S1C and GPS LNAV ephemeris records, the subset
-the round-1 receiver produces).
+covering every constellation/version). Implemented here: RINEX 3.02
+mixed navigation files with GPS LNAV (G), Galileo I/NAV (E), GLONASS
+GNAV (R, state-vector records) and BeiDou DNAV (C) records, iono /
+time-system-correction header lines, and multi-GNSS observation files
+with per-system observable codes.
 
 GPS time note: epochs are written from (week, TOW); the civil date uses
 the GPS epoch 1980-01-06 without leap-second handling (raw GPS time, as
@@ -17,8 +19,18 @@ import datetime
 import math
 
 from gnss_sdr_tpu.pvt.ephemeris import GpsEphemeris
+from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
 
 GPS_EPOCH = datetime.datetime(1980, 1, 6, tzinfo=datetime.timezone.utc)
+
+# per-system observable codes (rinex_printer obsType mapping)
+OBS_CODES = {
+    "G": ("C1C", "L1C", "D1C", "S1C"),
+    "E": ("C1B", "L1B", "D1B", "S1B"),
+    "R": ("C1C", "L1C", "D1C", "S1C"),
+    "C": ("C2I", "L2I", "D2I", "S2I"),
+    "S": ("C1C", "L1C", "D1C", "S1C"),
+}
 
 
 def gps_time_to_datetime(week: int, tow_s: float) -> datetime.datetime:
@@ -32,20 +44,56 @@ def _e19(value: float) -> str:
     return f"{mant}D{int(exp):+03d}".rjust(19)
 
 
+def _rows(lines: list[str], rows) -> None:
+    for row in rows:
+        lines.append("    " + "".join(_e19(v) for v in row))
+
+
 class RinexNavWriter:
-    """GPS navigation message file (RINEX 3.02 'N')."""
+    """Mixed GNSS navigation message file (RINEX 3.02 'N').
+
+    ``add_ephemeris`` dispatches on the ephemeris type / system code:
+    GPS and Galileo share the Kepler container (system "G"/"E"), GLONASS
+    uses the state-vector container, BeiDou passes system="C".
+    """
 
     def __init__(self, path):
         self.path = str(path)
         self.records: list[str] = []
+        self.systems: set[str] = set()
+        self.iono_gps: tuple | None = None        # (alpha[4], beta[4])
+        self.iono_gal: tuple | None = None        # (ai0, ai1, ai2)
+        self.utc_gps: tuple | None = None         # (a0, a1, t0t, wn_t)
 
-    def add_ephemeris(self, eph: GpsEphemeris) -> None:
+    # -- header corrections -------------------------------------------------
+
+    def set_gps_iono(self, alpha, beta) -> None:
+        self.iono_gps = (tuple(alpha), tuple(beta))
+
+    def set_galileo_iono(self, ai0: float, ai1: float, ai2: float) -> None:
+        self.iono_gal = (ai0, ai1, ai2)
+
+    def set_gps_utc(self, a0: float, a1: float, t0t: int, wn_t: int) -> None:
+        self.utc_gps = (a0, a1, t0t, wn_t)
+
+    # -- records -------------------------------------------------------------
+
+    def add_ephemeris(self, eph, system: str = "G") -> None:
+        if isinstance(eph, GlonassEphemeris):
+            self._add_glonass(eph)
+        elif system == "E":
+            self._add_galileo(eph)
+        elif system == "C":
+            self._add_beidou(eph)
+        else:
+            self._add_gps(eph)
+
+    def _add_gps(self, eph: GpsEphemeris) -> None:
+        self.systems.add("G")
         dt = gps_time_to_datetime(eph.week_number + 2048, eph.toc_s)
-        lines = []
-        lines.append(
-            f"G{eph.prn:02d} {dt:%Y %m %d %H %M %S}"
-            + _e19(eph.af0) + _e19(eph.af1) + _e19(eph.af2))
-        rows = [
+        lines = [f"G{eph.prn:02d} {dt:%Y %m %d %H %M %S}"
+                 + _e19(eph.af0) + _e19(eph.af1) + _e19(eph.af2)]
+        _rows(lines, [
             (eph.iode, eph.crs_m, eph.delta_n_rad_s, eph.m0_rad),
             (eph.cuc_rad, eph.ecc, eph.cus_rad, eph.sqrt_a),
             (eph.toe_s, eph.cic_rad, eph.omega0_rad, eph.cis_rad),
@@ -53,39 +101,112 @@ class RinexNavWriter:
             (eph.idot_rad_s, 1.0, float(eph.week_number + 2048), 0.0),
             (2.0, float(eph.sv_health), eph.tgd_s, float(eph.iodc)),
             (eph.toe_s, 4.0, 0.0, 0.0),
-        ]
-        for row in rows:
-            lines.append("    " + "".join(_e19(v) for v in row))
+        ])
+        self.records.append("\n".join(lines))
+
+    def _add_galileo(self, eph: GpsEphemeris) -> None:
+        """Galileo record (I/NAV): data-sources 513 = I/NAV E1-B,
+        BGD E1/E5b carried in the tgd slot (rinex_printer Galileo block)."""
+        self.systems.add("E")
+        dt = gps_time_to_datetime(eph.week_number + 1024, eph.toc_s)
+        lines = [f"E{eph.prn:02d} {dt:%Y %m %d %H %M %S}"
+                 + _e19(eph.af0) + _e19(eph.af1) + _e19(eph.af2)]
+        _rows(lines, [
+            (float(eph.iode), eph.crs_m, eph.delta_n_rad_s, eph.m0_rad),
+            (eph.cuc_rad, eph.ecc, eph.cus_rad, eph.sqrt_a),
+            (eph.toe_s, eph.cic_rad, eph.omega0_rad, eph.cis_rad),
+            (eph.i0_rad, eph.crc_m, eph.omega_rad, eph.omega_dot_rad_s),
+            (eph.idot_rad_s, 513.0, float(eph.week_number + 1024), 0.0),
+            (3.12, float(eph.sv_health), eph.tgd_s, eph.tgd_s),
+            (eph.toe_s, 0.0, 0.0, 0.0),
+        ])
+        self.records.append("\n".join(lines))
+
+    def _add_glonass(self, eph: GlonassEphemeris) -> None:
+        """GLONASS state-vector record (positions/velocities in km,
+        message-frame time in UTC day seconds)."""
+        self.systems.add("R")
+        day = datetime.datetime(2020, 1, 1,
+                                tzinfo=datetime.timezone.utc)  # date-less tb
+        dt = day + datetime.timedelta(seconds=eph.tb_s)
+        lines = [f"R{eph.slot:02d} {dt:%Y %m %d %H %M %S}"
+                 + _e19(-eph.tau_n_s) + _e19(eph.gamma_n) + _e19(eph.tb_s)]
+        _rows(lines, [
+            (eph.pos_m[0] / 1e3, eph.vel_m_s[0] / 1e3,
+             eph.acc_m_s2[0] / 1e3, 0.0),
+            (eph.pos_m[1] / 1e3, eph.vel_m_s[1] / 1e3,
+             eph.acc_m_s2[1] / 1e3, float(eph.freq_slot)),
+            (eph.pos_m[2] / 1e3, eph.vel_m_s[2] / 1e3,
+             eph.acc_m_s2[2] / 1e3, 0.0),
+        ])
+        self.records.append("\n".join(lines))
+
+    def _add_beidou(self, eph: GpsEphemeris) -> None:
+        self.systems.add("C")
+        dt = gps_time_to_datetime(eph.week_number + 1356, eph.toc_s)
+        lines = [f"C{eph.prn:02d} {dt:%Y %m %d %H %M %S}"
+                 + _e19(eph.af0) + _e19(eph.af1) + _e19(eph.af2)]
+        _rows(lines, [
+            (float(eph.iode), eph.crs_m, eph.delta_n_rad_s, eph.m0_rad),
+            (eph.cuc_rad, eph.ecc, eph.cus_rad, eph.sqrt_a),
+            (eph.toe_s, eph.cic_rad, eph.omega0_rad, eph.cis_rad),
+            (eph.i0_rad, eph.crc_m, eph.omega_rad, eph.omega_dot_rad_s),
+            (eph.idot_rad_s, 0.0, float(eph.week_number), 0.0),
+            (2.0, float(eph.sv_health), eph.tgd_s, eph.tgd_s),
+            (eph.toe_s, float(eph.iodc), 0.0, 0.0),
+        ])
         self.records.append("\n".join(lines))
 
     def close(self) -> str:
         now = datetime.datetime.now(datetime.timezone.utc)
-        header = (
-            f"{'3.02':>9}{'':11}{'N: GNSS NAV DATA':<20}{'G: GPS':<20}"
-            "RINEX VERSION / TYPE\n"
+        if len(self.systems) == 1:
+            sys_field = {"G": "G: GPS", "E": "E: GALILEO",
+                         "R": "R: GLONASS", "C": "C: BEIDOU"}[
+                next(iter(self.systems))]
+        else:
+            sys_field = "M: MIXED"
+        lines = [
+            f"{'3.02':>9}{'':11}{'N: GNSS NAV DATA':<20}{sys_field:<20}"
+            "RINEX VERSION / TYPE",
             f"{'GNSS-SDR-TPU':<20}{'':20}{now:%Y%m%d %H%M%S} UTC "
-            "PGM / RUN BY / DATE\n"
-            f"{'':60}END OF HEADER\n"
-        )
+            "PGM / RUN BY / DATE",
+        ]
+        if self.iono_gps is not None:
+            alpha, beta = self.iono_gps
+            a = "".join(f"{v:12.4E}" for v in alpha)
+            b = "".join(f"{v:12.4E}" for v in beta)
+            lines.append(f"GPSA {a}{'':7}IONOSPHERIC CORR")
+            lines.append(f"GPSB {b}{'':7}IONOSPHERIC CORR")
+        if self.iono_gal is not None:
+            g = "".join(f"{v:12.4E}" for v in self.iono_gal)
+            lines.append(f"GAL  {g}{'':19}IONOSPHERIC CORR")
+        if self.utc_gps is not None:
+            a0, a1, t0t, wn = self.utc_gps
+            lines.append(
+                f"GPUT {a0:17.10E}{a1:16.9E}{int(t0t):7d}{int(wn):5d}"
+                f"{'':10}TIME SYSTEM CORR")
+        lines.append(f"{'':60}END OF HEADER")
         with open(self.path, "w") as fh:
-            fh.write(header)
+            fh.write("\n".join(lines) + "\n")
             for rec in self.records:
                 fh.write(rec + "\n")
         return self.path
 
 
 class RinexObsWriter:
-    """Observation file (RINEX 3.02 'O') with C1C L1C D1C S1C."""
+    """Multi-GNSS observation file (RINEX 3.02 'O')."""
 
     def __init__(self, path, approx_pos=(0.0, 0.0, 0.0)):
         self.path = str(path)
         self.approx_pos = approx_pos
         self.epochs: list[str] = []
+        self.systems: set[str] = set()
 
     def add_epoch(self, week: int, tow_s: float, rows) -> None:
         """rows: iterable of dicts with prn, pseudorange_m,
-        carrier_phase_cycles, doppler_hz, cn0_db_hz."""
-        rows = list(rows)
+        carrier_phase_cycles, doppler_hz, cn0_db_hz and optional
+        'system' (default "G")."""
+        rows = sorted(rows, key=lambda r: (r.get("system", "G"), r["prn"]))
         dt = gps_time_to_datetime(week + 2048, tow_s)
         frac = tow_s - math.floor(tow_s)
         lines = [
@@ -93,8 +214,10 @@ class RinexObsWriter:
             f"{len(rows):3d}"
         ]
         for r in rows:
+            sysc = r.get("system", "G")
+            self.systems.add(sysc)
             lines.append(
-                f"G{r['prn']:02d}"
+                f"{sysc}{r['prn']:02d}"
                 f"{r['pseudorange_m']:14.3f}  "
                 f"{r['carrier_phase_cycles']:14.3f}  "
                 f"{r['doppler_hz']:14.3f}  "
@@ -105,17 +228,24 @@ class RinexObsWriter:
     def close(self) -> str:
         now = datetime.datetime.now(datetime.timezone.utc)
         x, y, z = self.approx_pos
-        header = (
-            f"{'3.02':>9}{'':11}{'OBSERVATION DATA':<20}{'G: GPS':<20}"
-            "RINEX VERSION / TYPE\n"
+        systems = sorted(self.systems) or ["G"]
+        sys_field = ({"G": "G: GPS", "E": "E: GALILEO", "R": "R: GLONASS",
+                      "C": "C: BEIDOU"}[systems[0]]
+                     if len(systems) == 1 else "M: MIXED")
+        lines = [
+            f"{'3.02':>9}{'':11}{'OBSERVATION DATA':<20}{sys_field:<20}"
+            "RINEX VERSION / TYPE",
             f"{'GNSS-SDR-TPU':<20}{'':20}{now:%Y%m%d %H%M%S} UTC "
-            "PGM / RUN BY / DATE\n"
-            f"{x:14.4f}{y:14.4f}{z:14.4f}{'':18}APPROX POSITION XYZ\n"
-            f"G    4 C1C L1C D1C S1C{'':38}SYS / # / OBS TYPES\n"
-            f"{'':60}END OF HEADER\n"
-        )
+            "PGM / RUN BY / DATE",
+            f"{x:14.4f}{y:14.4f}{z:14.4f}{'':18}APPROX POSITION XYZ",
+        ]
+        for sysc in systems:
+            codes = " ".join(OBS_CODES[sysc])
+            line = f"{sysc}    4 {codes}"
+            lines.append(f"{line:<60}SYS / # / OBS TYPES")
+        lines.append(f"{'':60}END OF HEADER")
         with open(self.path, "w") as fh:
-            fh.write(header)
+            fh.write("\n".join(lines) + "\n")
             for rec in self.epochs:
                 fh.write(rec + "\n")
         return self.path

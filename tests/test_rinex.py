@@ -52,3 +52,59 @@ def test_obs_writer(tmp_path):
     assert text.count("> ") == 2
     assert "G07" in text and "G13" in text
     assert "21234567.123" in text
+
+
+def test_mixed_nav_writer(tmp_path):
+    """Galileo/GLONASS/BeiDou records + iono/UTC header lines
+    (rinex_printer multi-constellation coverage)."""
+    from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
+
+    w = RinexNavWriter(tmp_path / "mixed.rnx")
+    gps = GpsEphemeris(prn=3, week_number=300, toc_s=3600.0, toe_s=3600.0,
+                       sqrt_a=5153.7, iode=11, iodc=11)
+    gal = GpsEphemeris(prn=19, week_number=1276, toc_s=3600.0, toe_s=3600.0,
+                       sqrt_a=5440.6, iode=88, iodc=88, tgd_s=2.3e-9)
+    glo = GlonassEphemeris(slot=5, freq_slot=-2, tb_s=8100.0,
+                           pos_m=(12.3e6, -9.8e6, 19.1e6),
+                           vel_m_s=(-1234.5, 2345.6, -345.7),
+                           gamma_n=3.4e-11, tau_n_s=-5.6e-8)
+    bds = GpsEphemeris(prn=27, week_number=810, toc_s=3600.0, toe_s=3600.0,
+                       sqrt_a=5282.6, iode=5, iodc=5)
+    w.add_ephemeris(gps)
+    w.add_ephemeris(gal, system="E")
+    w.add_ephemeris(glo)
+    w.add_ephemeris(bds, system="C")
+    w.set_gps_iono([1.2e-8, -7.5e-9, -6.0e-8, 1.2e-7],
+                   [96256.0, -32768.0, -196608.0, 196608.0])
+    w.set_galileo_iono(45.75, 0.164, 0.0067)
+    w.set_gps_utc(3.2e-9, 1.1e-15, 405504, 310)
+    path = w.close()
+    text = open(path).read()
+    assert "M: MIXED" in text
+    for marker in ("G03", "E19", "R05", "C27"):
+        assert marker in text, marker
+    assert text.count("IONOSPHERIC CORR") == 3
+    assert "TIME SYSTEM CORR" in text
+    # GLONASS record: 4 lines (clock + 3 state-vector rows), position in km
+    rec = text.split("R05", 1)[1].split("C27")[0]
+    assert re.search(r"1\.23\d*D\+04", rec)  # x = 12300 km
+    # Galileo data-sources word
+    assert re.search(r"5\.13\d*D\+02", text)
+
+
+def test_mixed_obs_writer(tmp_path):
+    w = RinexObsWriter(tmp_path / "mixed_obs.rnx")
+    w.add_epoch(300, 3600.0, [
+        {"prn": 5, "system": "G", "pseudorange_m": 21e6,
+         "carrier_phase_cycles": 1.1e8, "doppler_hz": 1000.0,
+         "cn0_db_hz": 45.0},
+        {"prn": 11, "system": "E", "pseudorange_m": 23e6,
+         "carrier_phase_cycles": 1.2e8, "doppler_hz": -900.0,
+         "cn0_db_hz": 42.0},
+    ])
+    path = w.close()
+    text = open(path).read()
+    assert "M: MIXED" in text
+    assert "G    4 C1C L1C D1C S1C" in text
+    assert "E    4 C1B L1B D1B S1B" in text
+    assert "\nE11" in text and "\nG05" in text
