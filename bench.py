@@ -72,6 +72,8 @@ def main() -> None:
     block_b = planar(sig[block_samples:block_samples + n_in])
     codes = jnp.asarray(np.stack(
         [np.asarray(gps_l1ca_code(p), dtype=np.float32) for p in prns]))
+    if engine.correlator == "bank":
+        codes = engine._get_bank(codes)  # resampled-code bank [C,P+1,T,L]
 
     state = engine.init_state()
     for ch in range(N_CHANNELS):

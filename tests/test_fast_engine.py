@@ -91,3 +91,56 @@ def test_fast_engine_prompt_power():
                    + 1j * np.asarray(out["period_prompt_im"])[:, 0, :])
     # coherent gain: group ~ sum of periods (>= 15x mean period magnitude)
     assert np.all(group_p > 10.0 * per_p.mean(axis=-1))
+
+
+def test_bank_vs_segsum_consistency():
+    """The bank correlator (production default) must track the same
+    trajectory as the exact segmented-sum form: converged Doppler within
+    1 Hz, C/N0 within 1 dB, prompt magnitudes within 2%."""
+    true_doppler = -800.0
+    sat = SatelliteParams(prn=13, cn0_db_hz=48.0, delay_samples=1000.0,
+                          doppler_hz=true_doppler)
+    x = generate_gps_l1ca([sat], FS, 1.2, seed=21)
+    cfg = TrackingConfig(fs=FS, extend_correlation_symbols=20,
+                         pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75,
+                         cn0_smoother_alpha=0.05)
+    block = int(FS * 0.02)
+    tc = TrackingChannels(cfg, 1, block)
+    tc.start_channel(0, 13, gps_l1ca_code(13), 1000.0, true_doppler + 15.0, 0)
+    for b in range(20):
+        tc.process_block(x[b * block: (b + 1) * block + tc.overlap])
+    codes = jnp.asarray(np.asarray(gps_l1ca_code(13), np.float32)[None, :])
+    pos = 20 * block
+    results = {}
+    for mode in ("bank", "segsum"):
+        import jax
+
+        fast = FastTrackingEngine(cfg, 1, groups_per_block=5,
+                                  correlator=mode)
+        # deep-copy: process_block donates its state buffers, and both
+        # engines derive their initial state from the same scan state
+        state = jax.tree_util.tree_map(
+            lambda a: jnp.array(np.asarray(a)), fast.from_track_state(tc.state))
+        dop, cn0, pmag = [], [], []
+        n_blocks = (len(x) - pos - fast.overlap) // fast.block_samples
+        for b in range(n_blocks):
+            lo = pos + b * fast.block_samples
+            seg = x[lo: lo + fast.block_samples + fast.overlap]
+            re = jnp.asarray(np.ascontiguousarray(seg.real, np.float32))
+            im = jnp.asarray(np.ascontiguousarray(seg.imag, np.float32))
+            state, out = fast.process_block(state, re, im, codes)
+            valid = np.asarray(out["valid"])[:, 0]
+            dop.extend(np.asarray(out["carrier_doppler_hz"])[valid, 0])
+            cn0.extend(np.asarray(out["cn0_db_hz"])[valid, 0])
+            pmag.extend(np.abs(
+                np.asarray(out["prompt_re"])[valid, 0]
+                + 1j * np.asarray(out["prompt_im"])[valid, 0]))
+        results[mode] = (np.array(dop), np.array(cn0), np.array(pmag))
+    dop_b, cn0_b, p_b = results["bank"]
+    dop_s, cn0_s, p_s = results["segsum"]
+    n = min(len(dop_b), len(dop_s))
+    assert n >= 20
+    assert abs(np.mean(dop_b[-8:]) - np.mean(dop_s[-8:])) < 1.0
+    assert abs(cn0_b[-1] - cn0_s[-1]) < 1.0
+    ratio = p_b[:n] / p_s[:n]
+    np.testing.assert_allclose(ratio, 1.0, atol=0.02)
