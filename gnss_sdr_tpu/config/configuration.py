@@ -70,9 +70,41 @@ class Configuration:
 
     def apply_overrides(self, overrides: dict[str, str]) -> None:
         """CLI-style overrides, the analogue of the reference's gflags layer
-        (/root/reference/src/algorithms/libs/gnss_sdr_flags.cc)."""
+        (/root/reference/src/algorithms/libs/gnss_sdr_flags.cc). Values for
+        flags with validators are range-checked like the reference's
+        DEFINE_validator functions (:223-233) and rejected with the same
+        allowed-range message."""
         for key, value in overrides.items():
+            flag = key.rsplit(".", 1)[-1]
+            validator = FLAG_VALIDATORS.get(flag)
+            if validator is not None:
+                lo, hi, unit, lo_ok = validator
+                try:
+                    num = float(value)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"Invalid value for flag -{flag}: {value!r} "
+                        f"(not a number)")
+                ok = (num >= lo if lo_ok else num > lo) and num < hi
+                if not ok:
+                    raise ValueError(
+                        f"Invalid value for flag -{flag}: {value}. Allowed "
+                        f"range is {lo} < {flag} < {hi} {unit}.")
             self.set_property(key, value)
+
+
+# flag -> (low, high, unit, low_inclusive), gnss_sdr_flags.cc validators
+FLAG_VALIDATORS: dict[str, tuple[float, float, str, bool]] = {
+    "doppler_max": (0.0, 1_000_000.0, "Hz", True),
+    "doppler_step": (0.0, 10_000.0, "Hz", False),
+    "cn0_samples": (0.0, 10_000.0, "samples", False),
+    "cn0_min": (0.0, 100.0, "dB-Hz", False),
+    "max_lock_fail": (0.0, 10_000.0, "events", False),
+    "carrier_lock_th": (0.0, 1.508, "rad", False),
+    "dll_bw_hz": (0.0, 10_000.0, "Hz", True),
+    "pll_bw_hz": (0.0, 10_000.0, "Hz", True),
+    "fll_bw_hz": (0.0, 10_000.0, "Hz", True),
+}
 
 
 class InMemoryConfiguration(Configuration):

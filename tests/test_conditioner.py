@@ -94,3 +94,33 @@ def test_notch_excision_removes_cw():
     assert p_out < 0.02 * p_in
     assert abs(p_out - np.mean(np.abs(noise) ** 2)) < 0.5 * np.mean(
         np.abs(noise) ** 2)
+
+
+def test_beamformer_gain_and_null():
+    """Steered array gains M in the look direction and attenuates
+    off-axis interference (Beamformer_Filter counterpart)."""
+    import numpy as np
+    from gnss_sdr_tpu.conditioner.beamformer import (
+        BeamformerFilter, array_response, steering_weights)
+
+    rng = np.random.default_rng(0)
+    m_ant, n = 8, 4096
+    sig = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / np.sqrt(2)
+    jam = 10 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    a_sig = array_response(m_ant, 0.5, 10.0)
+    a_jam = array_response(m_ant, 0.5, 55.0)
+    x = a_sig[:, None] * sig[None, :] + a_jam[:, None] * jam[None, :]
+    bf = BeamformerFilter(steering_weights(m_ant, 0.5, 10.0))
+    y = bf.apply(x)
+    # signal passes at unity gain (weights normalized by M)
+    corr = np.vdot(sig, y) / np.vdot(sig, sig)
+    assert abs(abs(corr) - 1.0) < 0.05
+    # interference suppressed relative to a single antenna
+    jam_res = y - corr * sig
+    jam_single = x[0] - a_sig[0] * sig
+    assert np.mean(np.abs(jam_res) ** 2) < 0.2 * np.mean(
+        np.abs(jam_single) ** 2)
+    # wrong channel count rejected
+    import pytest
+    with pytest.raises(ValueError, match="antenna channels"):
+        bf.apply(x[:5])

@@ -57,3 +57,21 @@ def test_overrides():
     conf.set_property("Acquisition_1C.doppler_max", "5000")
     conf.apply_overrides({"Acquisition_1C.doppler_max": "10000"})
     assert conf.property("Acquisition_1C.doppler_max", 0) == 10000
+
+
+def test_flag_validators():
+    """gflags-style range validation (gnss_sdr_flags.cc DEFINE_validator)."""
+    import pytest
+    from gnss_sdr_tpu.config import InMemoryConfiguration
+
+    c = InMemoryConfiguration()
+    c.apply_overrides({"Acquisition_1C.doppler_max": "8000"})
+    assert c.property("Acquisition_1C.doppler_max", 0) == 8000
+    with pytest.raises(ValueError, match="Allowed range"):
+        c.apply_overrides({"Acquisition_1C.doppler_max": "2000000"})
+    with pytest.raises(ValueError, match="carrier_lock_th"):
+        c.apply_overrides({"Tracking_1C.carrier_lock_th": "2.0"})
+    with pytest.raises(ValueError, match="not a number"):
+        c.apply_overrides({"Tracking_1C.pll_bw_hz": "fast"})
+    # non-validated keys pass through untouched
+    c.apply_overrides({"PVT.output_rate_ms": "100"})
