@@ -28,10 +28,11 @@ class Observation:
 
     prn: int
     pseudorange_m: float
-    eph: GpsEphemeris
+    eph: GpsEphemeris  # or GlonassEphemeris (same sat_pos/clock API)
     doppler_hz: float | None = None
     carrier_hz: float = 1575.42e6
     cn0_db_hz: float = 45.0
+    system: str = "G"   # "R" adds the GLONASS inter-system time state
 
 
 @dataclasses.dataclass
@@ -87,15 +88,19 @@ def solve_pvt(
         clock_drift_s_s=None, gdop=0.0, pdop=0.0, hdop=0.0, vdop=0.0,
         n_sats=n, residuals_m=np.zeros(0),
     )
-    if n < 4:
+    # GLONASS observables add an inter-system time-offset unknown
+    # (rtklib pntpos GLO ISB state, rtklib_pntpos.cc rescode)
+    has_glo = any(o.system == "R" for o in obs)
+    nx = 5 if has_glo else 4
+    if n < nx:
         return invalid
 
-    x = np.zeros(4) if x0 is None else np.concatenate(
-        [np.asarray(x0, dtype=float), [0.0]])
+    x = np.zeros(nx) if x0 is None else np.concatenate(
+        [np.asarray(x0, dtype=float), np.zeros(nx - 3)])
 
     sat_pos = np.zeros((n, 3))
     sat_clk = np.zeros(n)
-    h = np.zeros((n, 4))
+    h = np.zeros((n, nx))
     resid = np.zeros(n)
 
     for it in range(max_iter):
@@ -107,7 +112,8 @@ def solve_pvt(
             t_tx = t_rx_tow_s - o.pseudorange_m / C
             dts = o.eph.clock_bias_s(t_tx)
             t_tx -= dts
-            dts = o.eph.clock_bias_s(t_tx) - o.eph.tgd_s  # L1 TGD applies
+            # L1 TGD applies (GLONASS state-vector eph has no TGD field)
+            dts = o.eph.clock_bias_s(t_tx) - getattr(o.eph, "tgd_s", 0.0)
             pos = np.array(o.eph.sat_pos(t_tx))
             sat_pos[i] = pos
             sat_clk[i] = dts
@@ -115,6 +121,8 @@ def solve_pvt(
             rho, los = _geodist(pos, x[:3])
             h[i, :3] = -los
             h[i, 3] = 1.0
+            if has_glo:
+                h[i, 4] = 1.0 if o.system == "R" else 0.0
 
             corr = 0.0
             if use_atmo:
@@ -124,7 +132,8 @@ def solve_pvt(
                 if iono_alpha is not None and iono_beta is not None:
                     corr += atmosphere.klobuchar_delay(
                         t_rx_tow_s, lat, lon, az, el, iono_alpha, iono_beta)
-            resid[i] = o.pseudorange_m - (rho + x[3] - C * dts + corr)
+            isb = x[4] if (has_glo and o.system == "R") else 0.0
+            resid[i] = o.pseudorange_m - (rho + x[3] + isb - C * dts + corr)
 
         dx, *_ = np.linalg.lstsq(h, resid, rcond=None)
         x += dx
@@ -149,7 +158,7 @@ def solve_pvt(
     drift = None
     dopplers = [o.doppler_hz for o in obs]
     if all(d is not None for d in dopplers):
-        hv = np.zeros((n, 4))
+        hv = np.zeros((n, 4))  # velocity: one common drift state
         rv = np.zeros(n)
         for i, o in enumerate(obs):
             sat_vel = np.array(o.eph.sat_vel(

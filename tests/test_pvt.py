@@ -116,3 +116,52 @@ def test_visible_sats_elevations():
     for prn in vis:
         _, el = azimuth_elevation(rx, np.array(ephs[prn].sat_pos(7200.0)))
         assert math.degrees(el) >= 7.0
+
+
+def test_mixed_gps_glonass_solution():
+    """GPS + GLONASS observables with an inter-system time offset
+    (rtklib pntpos GLO ISB state counterpart)."""
+    import numpy as np
+    from gnss_sdr_tpu.pvt.solver import Observation, solve_pvt
+    from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
+    from tests.test_rtk import _constellation
+
+    C = 299792458.0
+    rx_true = np.array([4_424_000.0, 558_000.0, 4_572_000.0])
+    clk_bias_m = 4500.0
+    glo_isb_m = 120.0          # GPS-GLONASS time-scale offset
+    t_rx = 36000.0
+    sats = _constellation(seed=9, n_sats=9)
+    OMEGA_E = 7.2921151467e-5
+    obs = []
+    for i, (prn, sp) in enumerate(sats.items()):
+        sp = np.asarray(sp)
+        # geometric range incl. the Sagnac term the solver models
+        rho = np.linalg.norm(sp - rx_true) + OMEGA_E * (
+            sp[0] * rx_true[1] - sp[1] * rx_true[0]) / C
+        if i < 5:
+            # GPS-like: static Kepler-free truth via a frozen ephemeris
+            from gnss_sdr_tpu.pvt.ephemeris import GpsEphemeris
+
+            class _Fixed(GpsEphemeris):
+                def __init__(self, pos):
+                    super().__init__(prn=prn)
+                    self._pos = tuple(pos)
+
+                def clock_bias_s(self, t):
+                    return 0.0
+
+                def sat_pos(self, t):
+                    return self._pos
+
+            obs.append(Observation(prn=prn, pseudorange_m=rho + clk_bias_m,
+                                   eph=_Fixed(sp), system="G"))
+        else:
+            eph = GlonassEphemeris(slot=prn, tb_s=t_rx, pos_m=tuple(sp))
+            obs.append(Observation(
+                prn=prn, pseudorange_m=rho + clk_bias_m + glo_isb_m,
+                eph=eph, system="R", carrier_hz=1602.0e6))
+    sol = solve_pvt(obs, t_rx, apply_tropo=False)
+    assert sol.valid
+    np.testing.assert_allclose(sol.pos_ecef, rx_true, atol=0.5)
+    np.testing.assert_allclose(sol.clock_bias_s * C, clk_bias_m, atol=0.5)
