@@ -99,8 +99,9 @@ def kf_step(state: KfState, code_err_chips, phase_err_rad, t: float,
         jnp.stack([-s[..., 1, 0], s[..., 0, 0]], axis=-1),
     ], axis=-2) / det[..., None, None]
     k = jnp.einsum("...ij,...jk->...ik", ph, inv)   # [..., 4, 2]
-    x_new = x_pred + jnp.einsum("...ij,...j->...i", k, y)
+    delta = jnp.einsum("...ij,...j->...i", k, y)    # measurement correction
+    x_new = x_pred + delta
     kh = jnp.zeros_like(p_pred).at[..., :, 0].set(k[..., :, 0]) \
         .at[..., :, 1].set(k[..., :, 1])
     p_new = p_pred - jnp.einsum("...ij,...jk->...ik", kh, p_pred)
-    return KfState(x=x_new, p=p_new)
+    return KfState(x=x_new, p=p_new), delta

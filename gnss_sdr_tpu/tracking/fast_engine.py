@@ -66,6 +66,8 @@ class FastState(NamedTuple):
     code_lock_fail: jax.Array
     carrier_lock_fail: jax.Array
     loss_of_lock: jax.Array
+    kf_x: jax.Array                # [C,4] error-state KF (loop="kf")
+    kf_p: jax.Array                # [C,4,4]
 
 
 class FastTrackingEngine:
@@ -79,11 +81,20 @@ class FastTrackingEngine:
     BANK_PHASES = 16
 
     def __init__(self, cfg: TrackingConfig, n_channels: int,
-                 groups_per_block: int = 5, correlator: str = "bank"):
+                 groups_per_block: int = 5, correlator: str = "bank",
+                 loop: str = "fllpll", kf_config=None):
         if cfg.extend_correlation_symbols < 1:
             raise ValueError("extend_correlation_symbols must be >= 1")
         if correlator not in ("bank", "segsum"):
             raise ValueError("correlator must be 'bank' or 'segsum'")
+        if loop not in ("fllpll", "kf"):
+            raise ValueError("loop must be 'fllpll' or 'kf'")
+        self.loop = loop
+        if loop == "kf":
+            from gnss_sdr_tpu.ops.kalman import KfConfig
+
+            self.kf_cfg = kf_config or KfConfig(
+                chip_rate_cps=cfg.chip_rate_cps, carrier_hz=cfg.carrier_hz)
         self.cfg = cfg
         self.n_channels = n_channels
         self.correlator = correlator
@@ -133,6 +144,10 @@ class FastTrackingEngine:
             prompt_count=i32(), cn0_db_hz=f32(), carrier_lock_test=f32(),
             code_lock_fail=i32(), carrier_lock_fail=i32(),
             loss_of_lock=jnp.zeros((c,), dtype=bool),
+            kf_x=jnp.zeros((c, 4), dtype=jnp.float32),
+            kf_p=jnp.broadcast_to(
+                jnp.diag(jnp.asarray([1.0, 10.0, 100.0, 10.0],
+                                     jnp.float32)), (c, 4, 4)),
         )
 
     def from_track_state(self, ts: TrackState) -> FastState:
@@ -159,6 +174,13 @@ class FastTrackingEngine:
             code_lock_fail=ts.code_lock_fail,
             carrier_lock_fail=ts.carrier_lock_fail,
             loss_of_lock=ts.loss_of_lock,
+            kf_x=jnp.zeros(ts.carrier_doppler_hz.shape + (4,),
+                           dtype=jnp.float32).at[:, 2].set(
+                ts.carrier_doppler_hz),
+            kf_p=jnp.broadcast_to(
+                jnp.diag(jnp.asarray([1.0, 10.0, 100.0, 10.0],
+                                     jnp.float32)),
+                ts.carrier_doppler_hz.shape + (4, 4)),
         )
 
     def start_channel(self, state: FastState, ch: int, doppler_hz: float,
@@ -254,12 +276,8 @@ class FastTrackingEngine:
             ep_im = g_im[:, prompt_tap]
 
             # ---- loop closure (extended-mode semantics) -----------------
-            pll_hz = disc.pll_cloop_two_quadrant_atan(ep_re, ep_im) / TWO_PI
-            g_eff = types.SimpleNamespace(**dataclasses.asdict(gains))
-            (carr_w, carr_x), carr_err = lf.fll_pll_step(
-                (s.carr_w, s.carr_x), jnp.zeros_like(pll_hz), pll_hz,
-                t_group, g_eff)
-            carrier_doppler = carr_err
+            pll_rad = disc.pll_cloop_two_quadrant_atan(ep_re, ep_im)
+            pll_hz = pll_rad / TWO_PI
             if cfg.veml:
                 dll_d = disc.dll_nc_vemlp_normalized(
                     g_re[:, 0], g_im[:, 0], g_re[:, 1], g_im[:, 1],
@@ -268,19 +286,49 @@ class FastTrackingEngine:
                 dll_d = disc.dll_nc_e_minus_l_normalized(
                     g_re[:, 0], g_im[:, 0], g_re[:, 2], g_im[:, 2],
                     cfg.spc, cfg.slope, cfg.y_intercept)
-            (code_x_hist, code_y_hist), code_err = lf.iir_step(
-                (s.code_x_hist, s.code_y_hist), dll_d, dll_ic, dll_oc)
-            code_freq = chip_rate - code_err
-            if cfg.carrier_aiding:
-                code_freq = code_freq + carrier_doppler * chip_rate / carrier_hz
+            if self.loop == "kf":
+                # 4-state code/carrier KF closure (kf_tracking role):
+                # the discriminators feed the measurement update; the
+                # phase corrections are applied to the remnant carries
+                # (error-state reset) and the rates come from the
+                # Doppler(+rate) states with implicit carrier aiding.
+                from gnss_sdr_tpu.ops.kalman import KfState, kf_step
+
+                kf_new, delta = kf_step(
+                    KfState(x=s.kf_x, p=s.kf_p), dll_d, pll_rad,
+                    float(cfg.code_period_s * k_ext), self.kf_cfg)
+                carrier_doppler = kf_new.x[:, 2]
+                code_freq = chip_rate \
+                    + carrier_doppler * chip_rate / carrier_hz
+                kf_x, kf_p = kf_new.x, kf_new.p
+                code_corr_chips = delta[:, 0]
+                carr_corr_rad = delta[:, 1]
+                carr_w, carr_x = s.carr_w, s.carr_x
+                code_x_hist, code_y_hist = s.code_x_hist, s.code_y_hist
+            else:
+                g_eff = types.SimpleNamespace(**dataclasses.asdict(gains))
+                (carr_w, carr_x), carr_err = lf.fll_pll_step(
+                    (s.carr_w, s.carr_x), jnp.zeros_like(pll_hz), pll_hz,
+                    t_group, g_eff)
+                carrier_doppler = carr_err
+                (code_x_hist, code_y_hist), code_err = lf.iir_step(
+                    (s.code_x_hist, s.code_y_hist), dll_d, dll_ic, dll_oc)
+                code_freq = chip_rate - code_err
+                if cfg.carrier_aiding:
+                    code_freq = code_freq \
+                        + carrier_doppler * chip_rate / carrier_hz
+                kf_x, kf_p = s.kf_x, s.kf_p
+                code_corr_chips = jnp.zeros_like(dll_d)
+                carr_corr_rad = jnp.zeros_like(pll_rad)
 
             # ---- carry to next group ------------------------------------
             end_boundary = boundary[:, -1] + t_prn_samples               # [C]
             new_offset = jnp.floor(end_boundary).astype(jnp.int32)
-            new_rem = end_boundary - new_offset.astype(jnp.float32)
+            new_rem = end_boundary - new_offset.astype(jnp.float32) \
+                + code_corr_chips * fs / chip_rate
             group_len = (new_offset - s.offset).astype(jnp.float32) + new_rem \
                 - s.rem_code_phase_samples
-            carr_incr = step * group_len
+            carr_incr = step * group_len + carr_corr_rad
             new_rem_carr = jnp.mod(s.rem_carr_phase_rad + carr_incr,
                                    jnp.float32(TWO_PI))
 
@@ -330,6 +378,7 @@ class FastTrackingEngine:
                 code_lock_fail=jnp.where(loss, 0, kfail),
                 carrier_lock_fail=jnp.where(loss, 0, cfail),
                 loss_of_lock=s.loss_of_lock | (loss & s.active),
+                kf_x=kf_x, kf_p=kf_p,
             )
 
             def sel(a_new, a_old):

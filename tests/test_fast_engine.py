@@ -144,3 +144,39 @@ def test_bank_vs_segsum_consistency():
     assert abs(cn0_b[-1] - cn0_s[-1]) < 1.0
     ratio = p_b[:n] / p_s[:n]
     np.testing.assert_allclose(ratio, 1.0, atol=0.02)
+
+
+def test_kf_loop_mode_tracks():
+    """KF loop closure (kf_tracking counterpart wired into the fast
+    engine): converges on Doppler and holds lock."""
+    true_doppler = 900.0
+    sat = SatelliteParams(prn=6, cn0_db_hz=47.0, delay_samples=800.0,
+                          doppler_hz=true_doppler)
+    x = generate_gps_l1ca([sat], FS, 1.4, seed=17)
+    cfg = TrackingConfig(fs=FS, extend_correlation_symbols=20,
+                         pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75,
+                         cn0_smoother_alpha=0.05)
+    block = int(FS * 0.02)
+    tc = TrackingChannels(cfg, 1, block)
+    tc.start_channel(0, 6, gps_l1ca_code(6), 800.0, true_doppler + 25.0, 0)
+    for b in range(20):
+        tc.process_block(x[b * block: (b + 1) * block + tc.overlap])
+    fast = FastTrackingEngine(cfg, 1, groups_per_block=5, loop="kf")
+    state = fast.from_track_state(tc.state)
+    codes = jnp.asarray(np.asarray(gps_l1ca_code(6), np.float32)[None, :])
+    pos = 20 * block
+    dopplers, cn0s = [], []
+    n_blocks = (len(x) - pos - fast.overlap) // fast.block_samples
+    for b in range(n_blocks):
+        lo = pos + b * fast.block_samples
+        seg = x[lo: lo + fast.block_samples + fast.overlap]
+        re = jnp.asarray(np.ascontiguousarray(seg.real, np.float32))
+        im = jnp.asarray(np.ascontiguousarray(seg.imag, np.float32))
+        state, out = fast.process_block(state, re, im, codes)
+        valid = np.asarray(out["valid"])[:, 0]
+        dopplers.extend(np.asarray(out["carrier_doppler_hz"])[valid, 0])
+        cn0s.extend(np.asarray(out["cn0_db_hz"])[valid, 0])
+        assert not np.asarray(out["loss_of_lock"]).any()
+    dopplers = np.array(dopplers)
+    assert abs(np.mean(dopplers[-10:]) - true_doppler) < 5.0
+    assert abs(cn0s[-1] - 47.0) < 5.0

@@ -25,7 +25,7 @@ def test_kf_converges_to_doppler_and_rate():
         phase_err = (true_phase - x[1]) + rng.normal(0, 0.1)
         # fold phase error like a discriminator would (half-cycle Costas)
         phase_err = (phase_err + np.pi / 2) % np.pi - np.pi / 2
-        state = kf_step(state, code_err, phase_err, t, cfg)
+        state, _ = kf_step(state, code_err, phase_err, t, cfg)
         est_dopp.append(float(np.asarray(state.x)[2]))
 
     tail = np.array(est_dopp[-100:])
@@ -38,7 +38,7 @@ def test_kf_converges_to_doppler_and_rate():
 def test_kf_batched_channels():
     cfg = KfConfig()
     state = kf_init(np.zeros(3), np.zeros(3), np.array([0.0, 500.0, -800.0]))
-    state = kf_step(state, np.zeros(3), np.full(3, 0.1), 0.001, cfg)
+    state, _ = kf_step(state, np.zeros(3), np.full(3, 0.1), 0.001, cfg)
     x = np.asarray(state.x)
     assert x.shape == (3, 4)
     assert np.all(np.isfinite(np.asarray(state.p)))
