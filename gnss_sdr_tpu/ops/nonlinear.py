@@ -179,7 +179,12 @@ class BayesianEstimator:
                     + (self.kappa * n / kappa_post) * jnp.outer(dm, dm))
         ny = y.shape[0]
         self.mu_est = mu_post
-        self.psi_est = psi_post / max(nu_post + ny + 1, 1)
+        # inverse-Wishart mean when proper, reference fallback otherwise
+        # (bayesian_estimation.cc:116-123)
+        if nu_post - ny - 1 > 0:
+            self.psi_est = psi_post / (nu_post - ny - 1)
+        else:
+            self.psi_est = psi_post / (nu_post + ny + 1)
 
     def get_mu_est(self):
         return self.mu_est

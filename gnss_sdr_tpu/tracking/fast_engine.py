@@ -66,8 +66,11 @@ class FastState(NamedTuple):
     code_lock_fail: jax.Array
     carrier_lock_fail: jax.Array
     loss_of_lock: jax.Array
-    kf_x: jax.Array                # [C,4] error-state KF (loop="kf")
+    kf_x: jax.Array                # [C,4] error-state KF (loop="kf";
+    #                                loop="gaussian" uses [:, 1:4])
     kf_p: jax.Array                # [C,4,4]
+    gs_niw: jax.Array              # [C,4] (iter, n, mu, psi) NIW carry
+    #                                for loop="gaussian"
 
 
 class FastTrackingEngine:
@@ -87,14 +90,25 @@ class FastTrackingEngine:
             raise ValueError("extend_correlation_symbols must be >= 1")
         if correlator not in ("bank", "segsum"):
             raise ValueError("correlator must be 'bank' or 'segsum'")
-        if loop not in ("fllpll", "kf"):
-            raise ValueError("loop must be 'fllpll' or 'kf'")
+        if loop not in ("fllpll", "kf", "gaussian"):
+            raise ValueError("loop must be 'fllpll', 'kf' or 'gaussian'")
         self.loop = loop
+        self._gs_psi0 = 0.0
         if loop == "kf":
             from gnss_sdr_tpu.ops.kalman import KfConfig
 
             self.kf_cfg = kf_config or KfConfig(
                 chip_rate_cps=cfg.chip_rate_cps, carrier_hz=cfg.carrier_hz)
+        elif loop == "gaussian":
+            from gnss_sdr_tpu.ops.gaussian import (GaussianConfig,
+                                                   phase_detector_variance)
+
+            self.gs_cfg = kf_config or GaussianConfig()
+            t_g = cfg.code_period_s * cfg.extend_correlation_symbols
+            r30 = float(phase_detector_variance(
+                self.gs_cfg.init_cn0_db_hz, t_g))
+            self._gs_psi0 = (float(self.gs_cfg.sigma2_phase) + r30) \
+                * (self.gs_cfg.bce_nu + 2.0)
         self.cfg = cfg
         self.n_channels = n_channels
         self.correlator = correlator
@@ -123,6 +137,24 @@ class FastTrackingEngine:
         self._block_step = jax.jit(self._build(), donate_argnums=(0,))
 
     # -- state ------------------------------------------------------------
+    def _kf_p0(self) -> np.ndarray:
+        """Initial 4x4 covariance slab; loop='gaussian' embeds the
+        reference P_ini (phase/Doppler/rate) in the [1:,1:] block."""
+        if self.loop == "gaussian":
+            from gnss_sdr_tpu.ops.gaussian import _p_ini
+
+            p = np.eye(4, dtype=np.float32)
+            sub = _p_ini(self.gs_cfg)
+            n = sub.shape[0]
+            p[1:1 + n, 1:1 + n] = sub
+            return p
+        return np.diag(np.asarray([1.0, 10.0, 100.0, 10.0], np.float32))
+
+    def _gs_niw0(self, shape) -> jnp.ndarray:
+        z = np.zeros(shape + (4,), dtype=np.float32)
+        z[..., 3] = self._gs_psi0
+        return jnp.asarray(z)
+
     def init_state(self) -> FastState:
         c = self.n_channels
         f32 = functools.partial(jnp.zeros, (c,), dtype=jnp.float32)
@@ -145,9 +177,8 @@ class FastTrackingEngine:
             code_lock_fail=i32(), carrier_lock_fail=i32(),
             loss_of_lock=jnp.zeros((c,), dtype=bool),
             kf_x=jnp.zeros((c, 4), dtype=jnp.float32),
-            kf_p=jnp.broadcast_to(
-                jnp.diag(jnp.asarray([1.0, 10.0, 100.0, 10.0],
-                                     jnp.float32)), (c, 4, 4)),
+            kf_p=jnp.broadcast_to(jnp.asarray(self._kf_p0()), (c, 4, 4)),
+            gs_niw=self._gs_niw0((c,)),
         )
 
     def from_track_state(self, ts: TrackState) -> FastState:
@@ -178,9 +209,9 @@ class FastTrackingEngine:
                            dtype=jnp.float32).at[:, 2].set(
                 ts.carrier_doppler_hz),
             kf_p=jnp.broadcast_to(
-                jnp.diag(jnp.asarray([1.0, 10.0, 100.0, 10.0],
-                                     jnp.float32)),
+                jnp.asarray(self._kf_p0()),
                 ts.carrier_doppler_hz.shape + (4, 4)),
+            gs_niw=self._gs_niw0(ts.carrier_doppler_hz.shape),
         )
 
     def start_channel(self, state: FastState, ch: int, doppler_hz: float,
@@ -201,6 +232,10 @@ class FastTrackingEngine:
             carr_w=state.carr_w.at[ch].set(w0),
             carr_x=state.carr_x.at[ch].set(x0),
             loss_of_lock=state.loss_of_lock.at[ch].set(False),
+            kf_x=state.kf_x.at[ch].set(
+                jnp.zeros((4,), jnp.float32).at[2].set(doppler_hz)),
+            kf_p=state.kf_p.at[ch].set(jnp.asarray(self._kf_p0())),
+            gs_niw=state.gs_niw.at[ch].set(self._gs_niw0(())),
         )
 
     # -- code bank (bank correlator) ----------------------------------------
@@ -301,10 +336,48 @@ class FastTrackingEngine:
                 code_freq = chip_rate \
                     + carrier_doppler * chip_rate / carrier_hz
                 kf_x, kf_p = kf_new.x, kf_new.p
+                gs_niw = s.gs_niw
                 code_corr_chips = delta[:, 0]
                 carr_corr_rad = delta[:, 1]
                 carr_w, carr_x = s.carr_w, s.carr_x
                 code_x_hist, code_y_hist = s.code_x_hist, s.code_y_hist
+            elif self.loop == "gaussian":
+                # Gaussian carrier-KF closure (gps_l1_ca_gaussian_tracking
+                # role): the atan phase discriminator feeds an order-2/3
+                # carrier-phase Kalman filter with NIW-adaptive R; code
+                # closes through the standard DLL filter as a phase
+                # correction, with full carrier aiding of the code rate
+                # (gps_l1_ca_gaussian_tracking_cc.cc:717-738).
+                from gnss_sdr_tpu.ops.gaussian import (GaussState,
+                                                       gaussian_step)
+
+                gst = GaussState(
+                    x=s.kf_x[:, 1:1 + self.gs_cfg.order],
+                    p=s.kf_p[:, 1:1 + self.gs_cfg.order,
+                             1:1 + self.gs_cfg.order],
+                    niw_iter=s.gs_niw[:, 0].astype(jnp.int32),
+                    niw_n=s.gs_niw[:, 1].astype(jnp.int32),
+                    niw_mu=s.gs_niw[:, 2], niw_psi=s.gs_niw[:, 3])
+                gnew, ginfo = gaussian_step(
+                    gst, pll_rad, s.cn0_db_hz,
+                    float(cfg.code_period_s * k_ext), self.gs_cfg)
+                carrier_doppler = ginfo["carrier_doppler_hz"]
+                code_freq = chip_rate \
+                    + carrier_doppler * chip_rate / carrier_hz
+                (code_x_hist, code_y_hist), code_err = lf.iir_step(
+                    (s.code_x_hist, s.code_y_hist), dll_d, dll_ic, dll_oc)
+                # filter output [chips/s] applied as a phase correction
+                # over the group (K_blk_samples adjustment, :729-738)
+                code_corr_chips = code_err * t_group
+                carr_corr_rad = ginfo["phase_corr_rad"]
+                kf_x = s.kf_x.at[:, 1:1 + self.gs_cfg.order].set(gnew.x)
+                kf_p = s.kf_p.at[:, 1:1 + self.gs_cfg.order,
+                                 1:1 + self.gs_cfg.order].set(gnew.p)
+                gs_niw = jnp.stack(
+                    [gnew.niw_iter.astype(jnp.float32),
+                     gnew.niw_n.astype(jnp.float32),
+                     gnew.niw_mu, gnew.niw_psi], axis=-1)
+                carr_w, carr_x = s.carr_w, s.carr_x
             else:
                 g_eff = types.SimpleNamespace(**dataclasses.asdict(gains))
                 (carr_w, carr_x), carr_err = lf.fll_pll_step(
@@ -318,6 +391,7 @@ class FastTrackingEngine:
                     code_freq = code_freq \
                         + carrier_doppler * chip_rate / carrier_hz
                 kf_x, kf_p = s.kf_x, s.kf_p
+                gs_niw = s.gs_niw
                 code_corr_chips = jnp.zeros_like(dll_d)
                 carr_corr_rad = jnp.zeros_like(pll_rad)
 
@@ -378,7 +452,7 @@ class FastTrackingEngine:
                 code_lock_fail=jnp.where(loss, 0, kfail),
                 carrier_lock_fail=jnp.where(loss, 0, cfail),
                 loss_of_lock=s.loss_of_lock | (loss & s.active),
-                kf_x=kf_x, kf_p=kf_p,
+                kf_x=kf_x, kf_p=kf_p, gs_niw=gs_niw,
             )
 
             def sel(a_new, a_old):
