@@ -49,10 +49,10 @@ def halo_exchange_blocks(mesh: Mesh, shards: jax.Array, halo: int,
         # x: [1, shard_len] local shard
         n = jax.lax.axis_size(axis)
         head = x[:, :halo]
+        # no wrap-around pair: ppermute zero-fills unaddressed targets, so
+        # the last shard's halo is zero without a wasted send + mask
         left = jax.lax.ppermute(
-            head, axis, perm=[(i, (i - 1) % n) for i in range(n)])
-        idx = jax.lax.axis_index(axis)
-        left = jnp.where(idx == n - 1, jnp.zeros_like(left), left)
+            head, axis, perm=[(i, i - 1) for i in range(1, n)])
         return jnp.concatenate([x, left], axis=1)
 
     fn = shard_map(body, mesh=mesh, in_specs=P(axis, None),

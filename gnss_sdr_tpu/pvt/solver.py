@@ -89,8 +89,11 @@ def solve_pvt(
         n_sats=n, residuals_m=np.zeros(0),
     )
     # GLONASS observables add an inter-system time-offset unknown
-    # (rtklib pntpos GLO ISB state, rtklib_pntpos.cc rescode)
-    has_glo = any(o.system == "R" for o in obs)
+    # (rtklib pntpos GLO ISB state, rtklib_pntpos.cc rescode) — only in
+    # mixed-constellation solutions; GLO-only would make it collinear
+    # with the clock state
+    has_glo = any(o.system == "R" for o in obs) \
+        and any(o.system != "R" for o in obs)
     nx = 5 if has_glo else 4
     if n < nx:
         return invalid
@@ -160,23 +163,30 @@ def solve_pvt(
     if all(d is not None for d in dopplers):
         hv = np.zeros((n, 4))  # velocity: one common drift state
         rv = np.zeros(n)
-        for i, o in enumerate(obs):
-            sat_vel = np.array(o.eph.sat_vel(
-                t_rx_tow_s - o.pseudorange_m / C))
-            rho_vec = sat_pos[i] - x[:3]
-            rho = np.linalg.norm(rho_vec)
-            los = rho_vec / rho
-            lam = C / o.carrier_hz
-            # positive Doppler = closing range in our convention
-            range_rate = -lam * o.doppler_hz
-            # Sagnac rate correction (rtklib resdop)
-            range_rate += OMEGA_EARTH_DOT / C * (
-                sat_vel[1] * x[0] + sat_pos[i][1] * 0.0
-                - sat_vel[0] * x[1] - sat_pos[i][0] * 0.0)
-            hv[i, :3] = -los
-            hv[i, 3] = 1.0
-            rv[i] = range_rate - np.dot(los, sat_vel)
-        sol, *_ = np.linalg.lstsq(hv, rv, rcond=None)
+        # rtklib resdop iterates the LSQ so the receiver-velocity Sagnac
+        # cross terms (linear in the unknown velocity) can use the previous
+        # iterate; two passes converge to sub-mm/s (the terms are
+        # OMEGA_E/C ~ 2.4e-13 of the position-velocity products)
+        v_est = np.zeros(3)
+        for _ in range(2):
+            for i, o in enumerate(obs):
+                sat_vel = np.array(o.eph.sat_vel(
+                    t_rx_tow_s - o.pseudorange_m / C))
+                rho_vec = sat_pos[i] - x[:3]
+                rho = np.linalg.norm(rho_vec)
+                los = rho_vec / rho
+                lam = C / o.carrier_hz
+                # positive Doppler = closing range in our convention
+                range_rate = -lam * o.doppler_hz
+                # Sagnac rate correction (rtklib resdop)
+                range_rate += OMEGA_EARTH_DOT / C * (
+                    sat_vel[1] * x[0] + sat_pos[i][1] * v_est[0]
+                    - sat_vel[0] * x[1] - sat_pos[i][0] * v_est[1])
+                hv[i, :3] = -los
+                hv[i, 3] = 1.0
+                rv[i] = range_rate - np.dot(los, sat_vel)
+            sol, *_ = np.linalg.lstsq(hv, rv, rcond=None)
+            v_est = sol[:3]
         vel = sol[:3]
         drift = sol[3] / C
 

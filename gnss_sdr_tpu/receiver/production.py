@@ -73,7 +73,8 @@ class ProductionReceiver:
         rems = np.asarray(state.rem_code_phase_samples).copy()
         rcarr = np.asarray(state.rem_carr_phase_rad).copy()
         steps = TWO_PI * np.asarray(state.carrier_doppler_hz) / trk_cfg.fs
-        code_freq = np.asarray(state.code_freq_chips)
+        code_freq = trk_cfg.chip_rate_cps \
+            + np.asarray(state.code_doppler_chips, dtype=np.float64)
         for f in rec.fsms:
             ch = f.channel_id
             if f.state is not ChannelState.TRACKING:

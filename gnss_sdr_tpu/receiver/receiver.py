@@ -45,6 +45,11 @@ class ReceiverConfig:
     doppler_step: float = 250.0
     acq_pfa: float = 0.001
     acq_dwells: int = 2
+    # decimate the acquisition input to the SNR-optimal rate (2 Msps for
+    # L1 C/A, GPS_L1_CA.h:53) and rescale delays back to fs — the
+    # reference's GNSS-SDR.use_acquisition_resampler
+    # (gnss_flowgraph.cc:1027-1117)
+    use_acquisition_resampler: bool = False
     # tracking
     pll_bw_hz: float = 35.0
     dll_bw_hz: float = 2.0
@@ -77,8 +82,23 @@ class Receiver:
         self.sat_pool: collections.deque[int] = collections.deque(satellites)
         self.fsms = [ChannelFsm(i) for i in range(cfg.n_channels)]
 
+        # per-band automatic acquisition resampler: largest integer
+        # decimation that keeps the acquisition rate at or above the
+        # SNR-optimal 2 Msps (GPS_L1_CA.h:53; gnss_flowgraph.cc:1027-1117)
+        opt_fs = 2.0e6
+        self._acq_decim = 1
+        self._acq_fir: np.ndarray | None = None
+        if cfg.use_acquisition_resampler and fs >= 2.0 * opt_fs:
+            self._acq_decim = int(fs // opt_fs)
+            while self._acq_decim > 1 and fs / self._acq_decim < opt_fs:
+                self._acq_decim -= 1
+        if self._acq_decim > 1:
+            from scipy import signal as sp_signal
+
+            self._acq_fir = sp_signal.firwin(
+                8 * self._acq_decim + 1, 0.8 / self._acq_decim)
         self.acq = make_gps_l1ca_acquisition(
-            sorted(satellites), fs,
+            sorted(satellites), fs / self._acq_decim,
             doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
             pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
         )
@@ -215,8 +235,12 @@ class Receiver:
             return
         needed = self.acq.cfg.consumed_samples * self.acq.cfg.max_dwells
         stamp = self.tracking.abs_block_start
-        results = self.acq.search(np.asarray(block[:needed]),
-                                  samplestamp=stamp)
+        seg = np.asarray(block[: needed * self._acq_decim])
+        if self._acq_decim > 1:
+            # anti-alias FIR + decimate to the acquisition rate
+            seg = np.convolve(seg, self._acq_fir,
+                              mode="same")[:: self._acq_decim][:needed]
+        results = self.acq.search(seg, samplestamp=stamp)
         for prn, fsm in searching.items():
             res = results.get(prn)
             if res is None:
@@ -235,13 +259,19 @@ class Receiver:
                 self._bit_sync[fsm.channel_id] = BitSync()
                 self._period_count[fsm.channel_id] = 0
                 self._extended[fsm.channel_id] = False
-            # negative: keep searching the same satellite next block
-            # (the reference cycles the satellite back through the list)
+            elif self.sat_pool:
+                # negative: rotate the satellite back through the pool and
+                # search the next one, so a channel never starves on a
+                # non-visible SV (gnss_flowgraph.cc:1924-1940
+                # push_back_signal + next assignment)
+                self.sat_pool.append(prn)
+                fsm.prn = self.sat_pool.popleft()
 
     def _acq_to_trk_ratio(self) -> float:
-        """Acquisition delay is in acquisition-rate samples; the tracking
-        stream runs at the same fs here (no automatic resampler yet)."""
-        return 1.0
+        """Acquisition delay is in acquisition-rate samples; tracking runs
+        at fs = acq rate x decimation (gnss_flowgraph.cc:1093-1110 delay
+        rescaling)."""
+        return float(self._acq_decim)
 
     # -- telemetry + observables ------------------------------------------
     def _feed_decoders(self, per_channel) -> None:

@@ -149,11 +149,16 @@ def build_lnav_bits(
     HOW carries the truncated TOW of subframe k+1 (IS-GPS-200 20.3.3.2).
     Word-boundary parity chaining (D29*/D30*) runs across the whole stream;
     words 2 and 10 carry solved t-bits so D29=D30=0 at subframe edges.
+
+    The subframe ID follows the broadcast convention (sf 1..5 cycling on
+    the 30 s frame grid of GPS time, IS-GPS-200 20.3.2): a receiver
+    starting mid-frame sees SF1/2/3 within at most one frame, like real
+    signal — cold-start TTFF tests depend on this alignment.
     """
     d29s = d30s = 0
     bits: list[np.ndarray] = []
     for k in range(n_subframes):
-        sf_id = (k % 5) + 1
+        sf_id = ((start_tow_6s + k) % 5) + 1
         words = _subframe_words(eph, sf_id, start_tow_6s + k + 1)
         for w, source in enumerate(words):
             if source.shape[0] == 22:

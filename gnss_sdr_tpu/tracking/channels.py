@@ -62,7 +62,7 @@ class TrackingChannels:
     def start_channel(
         self, ch: int, prn: int, code_table: np.ndarray,
         acq_delay_samples: float, acq_doppler_hz: float,
-        acq_samplestamp: int,
+        acq_samplestamp: int, if_freq_hz: float = 0.0,
     ) -> None:
         """Assign a satellite to channel ``ch`` after positive acquisition.
 
@@ -83,7 +83,7 @@ class TrackingChannels:
         self._code_tables_dev = jnp.asarray(self._code_tables)
         self.state = self.engine.start_channel(
             self.state, ch, acq_doppler_hz, offset,
-            int(round(t_prn_samples)),
+            int(round(t_prn_samples)), if_freq_hz=if_freq_hz,
         )
         self.prn[ch] = prn
         self.acc_carrier_phase_rad[ch] = 0.0

@@ -122,7 +122,16 @@ class TrackState(NamedTuple):
     rem_code_phase_chips: jax.Array    # f32 (code-table units)
     rem_carr_phase_rad: jax.Array      # f32
     carrier_doppler_hz: jax.Array      # f32
-    code_freq_chips: jax.Array         # f32
+    if_freq_hz: jax.Array          # f32: per-channel intermediate-frequency
+    #   offset (GLONASS FDMA slot carrier k*562.5 kHz at L1,
+    #   GLONASS_L1_L2_CA.h:76-79). Added to the carrier NCO on top of the
+    #   loop's Doppler; excluded from the loop state, carrier aiding and
+    #   the Doppler/phase outputs so observables stay geometry-referenced.
+    code_doppler_chips: jax.Array      # f32: code freq MINUS nominal chip
+    #   rate. Stored as an offset so float32 keeps sub-mHz resolution: at
+    #   1.023e6 cps an absolute f32 code frequency has a 0.0625 cps LSB,
+    #   which quantizes the code NCO rate and limit-cycles the DLL
+    #   (meter-level pseudorange wander).
     carrier_phase_step_rad: jax.Array  # f32
     code_phase_step_chips: jax.Array   # f32 (code-table units per sample)
     carr_w: jax.Array              # f32: FLL/PLL filter state
@@ -207,8 +216,8 @@ class TrackingEngine:
                                            dtype=jnp.int32),
             rem_code_phase_samples=f32(), rem_code_phase_chips=f32(),
             rem_carr_phase_rad=f32(), carrier_doppler_hz=f32(),
-            code_freq_chips=jnp.full((c,), self.cfg.chip_rate_cps,
-                                     dtype=jnp.float32),
+            if_freq_hz=f32(),
+            code_doppler_chips=f32(),
             carrier_phase_step_rad=f32(),
             code_phase_step_chips=jnp.full(
                 (c,), self.cfg.chip_rate_cps / self.cfg.fs
@@ -236,7 +245,7 @@ class TrackingEngine:
 
     def start_channel(
         self, state: TrackState, ch: int, doppler_hz: float,
-        offset_samples: int, cur_len: int,
+        offset_samples: int, cur_len: int, if_freq_hz: float = 0.0,
     ) -> TrackState:
         """Functional per-channel (re)start after acquisition handoff.
 
@@ -260,9 +269,10 @@ class TrackingEngine:
             rem_code_phase_chips=state.rem_code_phase_chips.at[ch].set(0.0),
             rem_carr_phase_rad=state.rem_carr_phase_rad.at[ch].set(0.0),
             carrier_doppler_hz=state.carrier_doppler_hz.at[ch].set(doppler),
-            code_freq_chips=state.code_freq_chips.at[ch].set(cfg.chip_rate_cps),
+            if_freq_hz=state.if_freq_hz.at[ch].set(float(if_freq_hz)),
+            code_doppler_chips=state.code_doppler_chips.at[ch].set(0.0),
             carrier_phase_step_rad=state.carrier_phase_step_rad.at[ch].set(
-                TWO_PI * doppler_hz / cfg.fs),
+                TWO_PI * (doppler_hz + if_freq_hz) / cfg.fs),
             code_phase_step_chips=state.code_phase_step_chips.at[ch].set(
                 cfg.chip_rate_cps / cfg.fs * cspc),
             carr_w=state.carr_w.at[ch].set(w0),
@@ -352,6 +362,14 @@ class TrackingEngine:
         carrier_hz = jnp.float32(cfg.carrier_hz)
         # one PRN period (wide mode); extended mode scales by k_ext at use
         t_nominal = jnp.float32(cfg.code_period_s)
+        # nominal period length split into exact-int + small-fraction parts
+        # (see TrackState.code_doppler_chips precision note)
+        t_nom_f64 = cfg.code_length_chips * cfg.fs / cfg.chip_rate_cps
+        t_int = jnp.int32(math.floor(t_nom_f64))
+        t_frac_nom = jnp.float32(t_nom_f64 - math.floor(t_nom_f64))
+        t_nom_over_f0 = jnp.float32(t_nom_f64 / cfg.chip_rate_cps)
+        code_step_nom = jnp.float32(
+            cfg.chip_rate_cps / cfg.fs * cfg.code_samples_per_chip)
         shifts = self._shifts
         gains = self._gains
         gains_n = self._gains_narrow
@@ -462,11 +480,12 @@ class TrackingEngine:
                                     s.code_x_hist)
             code_y_hist = jnp.where(run_loops[:, None], code_y_new,
                                     s.code_y_hist)
-            code_freq_new = chip_rate - code_err_filt
+            code_dop_new = -code_err_filt
             if cfg.carrier_aiding:
-                code_freq_new = code_freq_new \
-                    + carrier_doppler * chip_rate / carrier_hz
-            code_freq = jnp.where(run_loops, code_freq_new, s.code_freq_chips)
+                code_dop_new = code_dop_new \
+                    + carrier_doppler * (chip_rate / carrier_hz)
+            code_dop = jnp.where(run_loops, code_dop_new,
+                                 s.code_doppler_chips)
             # reset the accumulator after a loop update
             clear = run_loops & s.extended
             accu_re = jnp.where(clear[:, None], 0.0, accu_re)
@@ -474,16 +493,28 @@ class TrackingEngine:
             accu_count = jnp.where(run_loops, 0, accu_count)
 
             # ---- update_tracking_vars (:1216-1288) ----------------------
-            t_prn_samples = code_len_chips / (code_freq / fs)
-            k_blk = t_prn_samples + s.rem_code_phase_samples
-            next_len = jnp.floor(k_blk).astype(jnp.int32)
-            rem_code_samples = k_blk - next_len.astype(jnp.float32)
-            carr_step = jnp.float32(TWO_PI) * carrier_doppler / fs
+            # Period length in int + small-fraction form: t_prn at ~2500
+            # samples has a 2.4e-4-sample float32 ULP, which systematically
+            # biases the code NCO rate; t_int is exact and t_frac stays
+            # well inside float32 resolution.
+            t_frac = t_frac_nom - code_dop * t_nom_over_f0
+            kfrac = t_frac + s.rem_code_phase_samples
+            dlen = jnp.floor(kfrac)
+            next_len = t_int + dlen.astype(jnp.int32)
+            rem_code_samples = kfrac - dlen
+            # the NCO runs at IF + Doppler; the phase-increment *output*
+            # (observables' accumulated carrier phase) is Doppler-only so
+            # the FDMA slot ramp never enters the carrier-phase observable
+            carr_step = jnp.float32(TWO_PI) * (carrier_doppler
+                                               + s.if_freq_hz) / fs
             carr_incr = carr_step * next_len.astype(jnp.float32)
+            carr_incr_out = jnp.float32(TWO_PI) * carrier_doppler / fs \
+                * next_len.astype(jnp.float32)
             rem_carr = jnp.mod(s.rem_carr_phase_rad + carr_incr,
                                jnp.float32(TWO_PI))
-            code_step = code_freq / fs * cspc
-            rem_code_chips = code_freq * rem_code_samples / fs * cspc
+            code_step = code_step_nom + code_dop * (cspc / fs)
+            rem_code_chips = (chip_rate + code_dop) * rem_code_samples \
+                / fs * cspc
 
             # ---- cn0_and_tracking_lock_status (:970-1062) ---------------
             # the prompt buffer collects one entry per loop update (per
@@ -551,7 +582,8 @@ class TrackingEngine:
                 rem_code_phase_chips=rem_code_chips,
                 rem_carr_phase_rad=rem_carr,
                 carrier_doppler_hz=carrier_doppler,
-                code_freq_chips=code_freq,
+                if_freq_hz=s.if_freq_hz,
+                code_doppler_chips=code_dop,
                 carrier_phase_step_rad=carr_step,
                 code_phase_step_chips=code_step,
                 carr_w=carr_w, carr_x=carr_x,
@@ -590,10 +622,10 @@ class TrackingEngine:
                 prompt_im=p_im,
                 carrier_doppler_hz=jnp.where(process, carrier_doppler,
                                              s.carrier_doppler_hz),
-                code_freq_chips=jnp.where(process, code_freq,
-                                          s.code_freq_chips),
+                code_freq_chips=chip_rate + jnp.where(process, code_dop,
+                                                      s.code_doppler_chips),
                 rem_code_phase_samples=s.rem_code_phase_samples,
-                carr_phase_incr_rad=jnp.where(process, carr_incr, 0.0),
+                carr_phase_incr_rad=jnp.where(process, carr_incr_out, 0.0),
                 cn0_db_hz=jnp.where(process, cn0_s, s.cn0_db_hz),
                 carrier_lock_test=jnp.where(process, lock_s,
                                             s.carrier_lock_test),

@@ -51,7 +51,12 @@ class FastState(NamedTuple):
     rem_code_phase_samples: jax.Array
     rem_carr_phase_rad: jax.Array
     carrier_doppler_hz: jax.Array
-    code_freq_chips: jax.Array
+    if_freq_hz: jax.Array          # per-channel IF offset (GLONASS FDMA
+    #   slot carrier); carrier NCO adds it on top of the loop Doppler,
+    #   loop state and Doppler/phase outputs exclude it (see TrackState)
+    code_doppler_chips: jax.Array  # code freq minus nominal chip rate
+    #   (offset form: absolute f32 code frequency has a 0.0625 cps LSB at
+    #   1.023e6 which limit-cycles the DLL at meter level)
     carr_w: jax.Array
     carr_x: jax.Array
     code_x_hist: jax.Array
@@ -124,7 +129,7 @@ class FastTrackingEngine:
         else:
             self.overlap = self.k * spc + self.max_period
         self.n_taps = cfg.n_taps
-        self._bank_cache: tuple[int, jax.Array] | None = None
+        self._bank_cache: tuple[object, jax.Array] | None = None
 
         self._shifts = jnp.asarray(cfg.tap_shifts())
         self._gains = lf.FllPllGains.make(
@@ -162,9 +167,8 @@ class FastTrackingEngine:
         return FastState(
             active=jnp.zeros((c,), dtype=bool), offset=i32(),
             rem_code_phase_samples=f32(), rem_carr_phase_rad=f32(),
-            carrier_doppler_hz=f32(),
-            code_freq_chips=jnp.full((c,), self.cfg.chip_rate_cps,
-                                     dtype=jnp.float32),
+            carrier_doppler_hz=f32(), if_freq_hz=f32(),
+            code_doppler_chips=f32(),
             carr_w=f32(), carr_x=f32(),
             code_x_hist=jnp.zeros((c, lf.HISTORY), dtype=jnp.float32),
             code_y_hist=jnp.zeros((c, lf.HISTORY - 1), dtype=jnp.float32),
@@ -195,7 +199,8 @@ class FastTrackingEngine:
             rem_code_phase_samples=ts.rem_code_phase_samples,
             rem_carr_phase_rad=ts.rem_carr_phase_rad,
             carrier_doppler_hz=ts.carrier_doppler_hz,
-            code_freq_chips=ts.code_freq_chips,
+            if_freq_hz=ts.if_freq_hz,
+            code_doppler_chips=ts.code_doppler_chips,
             carr_w=w0, carr_x=x0,
             code_x_hist=ts.code_x_hist, code_y_hist=ts.code_y_hist,
             p_old_re=ts.p_old_re, p_old_im=ts.p_old_im,
@@ -215,7 +220,8 @@ class FastTrackingEngine:
         )
 
     def start_channel(self, state: FastState, ch: int, doppler_hz: float,
-                      offset_samples: int) -> FastState:
+                      offset_samples: int,
+                      if_freq_hz: float = 0.0) -> FastState:
         cfg = self.cfg
         if self._gains.order == 3:
             w0, x0 = 0.0, 2.0 * doppler_hz
@@ -227,8 +233,8 @@ class FastTrackingEngine:
             rem_code_phase_samples=state.rem_code_phase_samples.at[ch].set(0.0),
             rem_carr_phase_rad=state.rem_carr_phase_rad.at[ch].set(0.0),
             carrier_doppler_hz=state.carrier_doppler_hz.at[ch].set(doppler_hz),
-            code_freq_chips=state.code_freq_chips.at[ch].set(
-                cfg.chip_rate_cps),
+            if_freq_hz=state.if_freq_hz.at[ch].set(float(if_freq_hz)),
+            code_doppler_chips=state.code_doppler_chips.at[ch].set(0.0),
             carr_w=state.carr_w.at[ch].set(w0),
             carr_x=state.carr_x.at[ch].set(x0),
             loss_of_lock=state.loss_of_lock.at[ch].set(False),
@@ -249,8 +255,9 @@ class FastTrackingEngine:
         interpolates linearly. This replaces the per-chip prefix-sum
         gather (a ~10 ms/group TPU gather) with one contiguous-window
         MXU contraction (~0.05 ms/group measured on v5e)."""
-        key = id(code_tables)
-        if self._bank_cache is not None and self._bank_cache[0] == key:
+        # identity cache: hold a strong reference to the key array so its
+        # id() cannot be recycled by the allocator while the entry lives
+        if self._bank_cache is not None and self._bank_cache[0] is code_tables:
             return self._bank_cache[1]
         cfg = self.cfg
         tables = np.asarray(code_tables, dtype=np.float32)
@@ -273,7 +280,7 @@ class FastTrackingEngine:
                 rows = tables[:, idx] * support[None, :].astype(np.float32)
                 bank[:, p, t, :] = rows
         out = jnp.asarray(bank)
-        self._bank_cache = (key, out)
+        self._bank_cache = (code_tables, out)
         return out
 
     # -- device program ----------------------------------------------------
@@ -297,13 +304,28 @@ class FastTrackingEngine:
         prompt_tap = n_taps // 2
         code_table_len = cfg.code_length_chips * cfg.code_samples_per_chip
         tiny = jnp.finfo(jnp.float32).tiny
+        # nominal period length split into exact-int + small-fraction parts
+        # (see FastState.code_doppler_chips precision note): boundary sums
+        # at ~2.5e5 samples have a 0.0156-sample f32 ULP, ~2 m of
+        # pseudorange quantization fed straight into the DLL
+        t_nom_f64 = cfg.code_length_chips * cfg.fs / cfg.chip_rate_cps
+        t_int = jnp.int32(math.floor(t_nom_f64))
+        t_frac_nom = jnp.float32(t_nom_f64 - math.floor(t_nom_f64))
+        t_nom_over_f0 = jnp.float32(t_nom_f64 / cfg.chip_rate_cps)
+        code_step_nom = jnp.float32(
+            cfg.chip_rate_cps / cfg.fs * cfg.code_samples_per_chip)
+        half_t_over_f0 = jnp.float32(0.5 * t_nom_f64 / cfg.chip_rate_cps)
 
-        def close_loops(s, process, boundary, starts, rems,
+        def close_loops(s, process, t_frac, starts, rems,
                         corr_re, corr_im):
             """Shared post-correlation path: group accumulation,
-            DLL/PLL closure, carry, C/N0/locks, outputs."""
-            t_prn_samples = code_len_chips / (s.code_freq_chips / fs)  # [C]
-            step = jnp.float32(TWO_PI) * s.carrier_doppler_hz / fs     # [C]
+            DLL/PLL closure, carry, C/N0/locks, outputs. ``t_frac`` is the
+            per-channel fractional part of the period length (period =
+            t_int + t_frac samples)."""
+            # NCO step includes the per-channel IF (FDMA slot); outputs
+            # report Doppler-only phase increments
+            step = jnp.float32(TWO_PI) * (s.carrier_doppler_hz
+                                          + s.if_freq_hz) / fs         # [C]
             # group-coherent accumulation (bit-aligned)
             g_re = jnp.sum(corr_re, axis=1)                            # [C,T]
             g_im = jnp.sum(corr_im, axis=1)
@@ -333,8 +355,7 @@ class FastTrackingEngine:
                     KfState(x=s.kf_x, p=s.kf_p), dll_d, pll_rad,
                     float(cfg.code_period_s * k_ext), self.kf_cfg)
                 carrier_doppler = kf_new.x[:, 2]
-                code_freq = chip_rate \
-                    + carrier_doppler * chip_rate / carrier_hz
+                code_dop = carrier_doppler * (chip_rate / carrier_hz)
                 kf_x, kf_p = kf_new.x, kf_new.p
                 gs_niw = s.gs_niw
                 code_corr_chips = delta[:, 0]
@@ -362,8 +383,7 @@ class FastTrackingEngine:
                     gst, pll_rad, s.cn0_db_hz,
                     float(cfg.code_period_s * k_ext), self.gs_cfg)
                 carrier_doppler = ginfo["carrier_doppler_hz"]
-                code_freq = chip_rate \
-                    + carrier_doppler * chip_rate / carrier_hz
+                code_dop = carrier_doppler * (chip_rate / carrier_hz)
                 (code_x_hist, code_y_hist), code_err = lf.iir_step(
                     (s.code_x_hist, s.code_y_hist), dll_d, dll_ic, dll_oc)
                 # filter output [chips/s] applied as a phase correction
@@ -386,23 +406,30 @@ class FastTrackingEngine:
                 carrier_doppler = carr_err
                 (code_x_hist, code_y_hist), code_err = lf.iir_step(
                     (s.code_x_hist, s.code_y_hist), dll_d, dll_ic, dll_oc)
-                code_freq = chip_rate - code_err
+                code_dop = -code_err
                 if cfg.carrier_aiding:
-                    code_freq = code_freq \
-                        + carrier_doppler * chip_rate / carrier_hz
+                    code_dop = code_dop \
+                        + carrier_doppler * (chip_rate / carrier_hz)
                 kf_x, kf_p = s.kf_x, s.kf_p
                 gs_niw = s.gs_niw
                 code_corr_chips = jnp.zeros_like(dll_d)
                 carr_corr_rad = jnp.zeros_like(pll_rad)
 
             # ---- carry to next group ------------------------------------
-            end_boundary = boundary[:, -1] + t_prn_samples               # [C]
-            new_offset = jnp.floor(end_boundary).astype(jnp.int32)
-            new_rem = end_boundary - new_offset.astype(jnp.float32) \
-                + code_corr_chips * fs / chip_rate
-            group_len = (new_offset - s.offset).astype(jnp.float32) + new_rem \
-                - s.rem_code_phase_samples
+            # int + small-fraction arithmetic: the integer part advances by
+            # exactly K*t_int; only small floats are ever added, so no
+            # precision is lost at large block offsets
+            corr_samp = code_corr_chips * (fs / chip_rate)
+            frac_end = s.rem_code_phase_samples \
+                + jnp.float32(k_ext) * t_frac + corr_samp                # [C]
+            fl_end = jnp.floor(frac_end)
+            new_offset = s.offset + k_ext * t_int + fl_end.astype(jnp.int32)
+            new_rem = frac_end - fl_end
+            group_len = jnp.float32(k_ext * int(t_int)) \
+                + jnp.float32(k_ext) * t_frac + corr_samp
             carr_incr = step * group_len + carr_corr_rad
+            carr_incr_out = jnp.float32(TWO_PI) * s.carrier_doppler_hz \
+                / fs * group_len + carr_corr_rad
             new_rem_carr = jnp.mod(s.rem_carr_phase_rad + carr_incr,
                                    jnp.float32(TWO_PI))
 
@@ -442,7 +469,8 @@ class FastTrackingEngine:
                 rem_code_phase_samples=new_rem,
                 rem_carr_phase_rad=new_rem_carr,
                 carrier_doppler_hz=carrier_doppler,
-                code_freq_chips=code_freq,
+                if_freq_hz=s.if_freq_hz,
+                code_doppler_chips=code_dop,
                 carr_w=carr_w, carr_x=carr_x,
                 code_x_hist=code_x_hist, code_y_hist=code_y_hist,
                 p_old_re=ep_re, p_old_im=ep_im,
@@ -473,9 +501,10 @@ class FastTrackingEngine:
                 period_prompt_im=corr_im[:, :, prompt_tap],
                 carrier_doppler_hz=jnp.where(process, carrier_doppler,
                                              s.carrier_doppler_hz),
-                code_freq_chips=jnp.where(process, code_freq,
-                                          s.code_freq_chips),
-                carr_phase_incr_rad=jnp.where(process, carr_incr, 0.0),
+                code_freq_chips=chip_rate
+                + jnp.where(process, code_dop, s.code_doppler_chips),
+                carr_phase_incr_rad=jnp.where(process, carr_incr_out,
+                                              0.0),
                 cn0_db_hz=jnp.where(process, cn0_s, s.cn0_db_hz),
                 loss_of_lock=merged.loss_of_lock,
             )
@@ -486,14 +515,20 @@ class FastTrackingEngine:
             process = s.active & (s.offset < block_samples) \
                 & (~s.loss_of_lock)
 
-            # closed-form period boundaries for this group
-            t_prn_samples = code_len_chips / (s.code_freq_chips / fs)  # [C]
+            # closed-form period boundaries for this group in exact-int +
+            # small-fraction form: the integer part (offset + k*t_int) is
+            # exact; only sub-sample fractions are ever summed in float32,
+            # so boundaries keep full precision at any block offset.
+            t_frac = t_frac_nom \
+                - s.code_doppler_chips * t_nom_over_f0                 # [C]
             kk = jnp.arange(k_ext, dtype=jnp.float32)                  # [K]
-            boundary = (s.offset.astype(jnp.float32)
-                        + s.rem_code_phase_samples)[:, None] \
-                + kk[None, :] * t_prn_samples[:, None]                 # [C,K]
-            starts = jnp.floor(boundary).astype(jnp.int32)
-            rems = boundary - starts.astype(jnp.float32)               # [C,K]
+            frac_k = s.rem_code_phase_samples[:, None] \
+                + kk[None, :] * t_frac[:, None]                        # [C,K]
+            fl_k = jnp.floor(frac_k)
+            starts = s.offset[:, None] \
+                + jnp.arange(k_ext, dtype=jnp.int32)[None, :] * t_int \
+                + fl_k.astype(jnp.int32)                               # [C,K]
+            rems = frac_k - fl_k                                       # [C,K]
 
             if self.correlator == "bank":
                 # ---- code-bank correlation (TPU production path) -----
@@ -511,7 +546,8 @@ class FastTrackingEngine:
                     lambda st_: jax.lax.dynamic_slice(
                         block_im, (st_,), (L_win,))))(win_start)
                 n = jnp.arange(L_win, dtype=jnp.float32)
-                step = jnp.float32(TWO_PI) * s.carrier_doppler_hz / fs  # [C]
+                step = jnp.float32(TWO_PI) * (s.carrier_doppler_hz
+                                              + s.if_freq_hz) / fs     # [C]
                 ph0 = s.rem_carr_phase_rad[:, None] + step[:, None] * (
                     win_start - s.offset[:, None]).astype(jnp.float32)
                 phase = ph0[:, :, None] + step[:, None, None] * n[None, None]
@@ -522,7 +558,15 @@ class FastTrackingEngine:
                 bank = code_tables                                     # [C,P+1,T,L]
                 all_re = jnp.einsum("ckl,cptl->ckpt", rot_re, bank)
                 all_im = jnp.einsum("ckl,cptl->ckpt", rot_im, bank)
-                pf = rems * jnp.float32(self.BANK_PHASES)              # [C,K]
+                # mid-period code-Doppler drift correction: the bank rows
+                # are resampled at the nominal chip rate, so a channel with
+                # code Doppler d drifts d/f0 samples per sample against its
+                # replica; shifting the start phase by -d*(t/2)/f0 centers
+                # the residual on the period midpoint (zero-mean error).
+                pf_eff = jnp.clip(
+                    rems - (s.code_doppler_chips * half_t_over_f0)[:, None],
+                    0.0, 1.0)
+                pf = pf_eff * jnp.float32(self.BANK_PHASES)            # [C,K]
                 j0 = jnp.clip(jnp.floor(pf).astype(jnp.int32), 0,
                               self.BANK_PHASES - 1)
                 w = (pf - j0.astype(jnp.float32))[..., None]
@@ -536,7 +580,7 @@ class FastTrackingEngine:
 
                 corr_re = _interp(all_re)
                 corr_im = _interp(all_im)
-                return close_loops(s, process, boundary, starts,
+                return close_loops(s, process, t_frac, starts,
                                    rems, corr_re, corr_im)
 
             # ---- segmented-sum correlation ------------------------------
@@ -558,7 +602,8 @@ class FastTrackingEngine:
                 in_axes=(None, 0))(block_im, group_start)
 
             n = jnp.arange(Lg, dtype=jnp.float32)                      # [Lg]
-            step = jnp.float32(TWO_PI) * s.carrier_doppler_hz / fs     # [C]
+            step = jnp.float32(TWO_PI) * (s.carrier_doppler_hz
+                                          + s.if_freq_hz) / fs         # [C]
             phase = s.rem_carr_phase_rad[:, None] + step[:, None] * n[None, :]
             c_ = jnp.cos(phase)
             s_ = jnp.sin(phase)
@@ -573,7 +618,8 @@ class FastTrackingEngine:
 
             # chip boundaries: global chip c of tap t starts at sample
             # ceil(r + (c - shift_t)/q) relative to the group start
-            code_step = s.code_freq_chips / fs * cspc                  # [C]
+            code_step = code_step_nom \
+                + s.code_doppler_chips * (cspc / fs)                   # [C]
             n_chips = k_ext * code_table_len
             cc = jnp.arange(-1, n_chips + 2, dtype=jnp.float32)        # [Nb+1]
             r0 = s.rem_code_phase_samples                              # [C]
@@ -608,7 +654,8 @@ class FastTrackingEngine:
             corr_re = jnp.einsum("ctkq,cq->ckt", core_re, code_tables)
             corr_im = jnp.einsum("ctkq,cq->ckt", core_im, code_tables)
 
-            return close_loops(s, process, boundary, starts, rems, corr_re, corr_im)
+            return close_loops(s, process, t_frac, starts, rems,
+                               corr_re, corr_im)
 
 
         def block_step(state: FastState, block_re, block_im, code_tables):

@@ -10,6 +10,11 @@ from gnss_sdr_tpu.ops import loop_filters as lf
 from gnss_sdr_tpu.ops.correlator import multicorrelate
 
 
+def _scalar(x) -> float:
+    return float(np.ravel(x)[0])
+
+
+
 def test_pll_discriminators():
     p = np.array([1 + 0.5j, -2 + 0.1j, 0.3 - 0.4j], dtype=np.complex64)
     got = np.asarray(disc.pll_four_quadrant_atan(p.real, p.imag))
@@ -22,12 +27,12 @@ def test_fll_discriminators():
     p1 = np.array([1 + 0.1j], dtype=np.complex64)
     p2 = np.array([1 + 0.3j], dtype=np.complex64)
     t = 0.001
-    got = float(np.asarray(disc.fll_four_quadrant_atan(
+    got = _scalar((disc.fll_four_quadrant_atan(
         p1.real, p1.imag, p2.real, p2.imag, 0.0, t)))
     dot = (p1.real * p2.real + p1.imag * p2.imag)[0]
     cross = (p1.real * p2.imag - p2.real * p1.imag)[0]
     assert abs(got - np.arctan2(cross, dot) / t) < 1e-3  # f32 atan2
-    got2 = float(np.asarray(disc.fll_diff_atan(
+    got2 = _scalar((disc.fll_diff_atan(
         p1.real, p1.imag, p2.real, p2.imag, 0.0, t)))
     expected = (np.arctan(p2.imag / p2.real)
                 - np.arctan(p1.imag / p1.real))[0] / t
@@ -37,12 +42,12 @@ def test_fll_discriminators():
 def test_dll_discriminator_zero_at_balance():
     e = np.array([3.0 + 4.0j], dtype=np.complex64)  # |E| = 5
     l = np.array([5.0 + 0.0j], dtype=np.complex64)  # |L| = 5
-    got = float(np.asarray(disc.dll_nc_e_minus_l_normalized(
+    got = _scalar((disc.dll_nc_e_minus_l_normalized(
         e.real, e.imag, l.real, l.imag)))
     assert abs(got) < 1e-6
     # sign: E > L -> positive error
     l2 = np.array([2.0 + 0.0j], dtype=np.complex64)
-    got2 = float(np.asarray(disc.dll_nc_e_minus_l_normalized(
+    got2 = _scalar((disc.dll_nc_e_minus_l_normalized(
         e.real, e.imag, l2.real, l2.imag)))
     assert got2 > 0
 
@@ -86,13 +91,13 @@ def test_lock_detectors_vs_complex():
     rng = np.random.default_rng(1)
     p = (rng.normal(10, 1, 20) + 1j * rng.normal(0, 1, 20)).astype(
         np.complex64)
-    cn0 = float(np.asarray(lockdet.cn0_svn_estimator(
+    cn0 = _scalar((lockdet.cn0_svn_estimator(
         p.real.astype(np.float32), p.imag.astype(np.float32), 0.001)))
     psig = np.mean(np.abs(p.real)) ** 2
     ptot = np.mean(np.abs(p) ** 2)
     ref = 10 * np.log10(psig / (ptot - psig)) - 10 * np.log10(0.001)
     assert abs(cn0 - ref) < 0.1
-    lock = float(np.asarray(lockdet.carrier_lock_detector(
+    lock = _scalar((lockdet.carrier_lock_detector(
         p.real.astype(np.float32), p.imag.astype(np.float32))))
     si, sq = np.sum(p.real), np.sum(p.imag)
     ref_lock = (si * si - sq * sq) / (si * si + sq * sq)

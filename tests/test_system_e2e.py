@@ -84,3 +84,49 @@ def test_acquisition_to_tracking_transitions(scene):
     states = receiver.channel_states()
     n_tracking = sum(s is ChannelState.TRACKING for s in states)
     assert n_tracking >= 5, states
+
+
+def test_acquisition_resampler_decimates_and_rescales():
+    """use_acquisition_resampler at 5 Msps: the grid runs at 2.5 Msps
+    (decim 2, >= the SNR-optimal 2 Msps, GPS_L1_CA.h:53) and delays are
+    rescaled so tracking still pulls in (gnss_flowgraph.cc:1027-1117)."""
+    toe = 7200.0
+    bits_start = 7200.0 + 598 * 6.0
+    t_start = bits_start + 4.5
+    rx = rx_position()
+    ephs = make_constellation(range(1, 13), toe_s=toe)
+    prns = visible_sats(ephs, rx, t_start)[:4]
+    fs = 5.0e6
+    x = generate_scene(ephs, prns, rx, t_start, 1.3, fs,
+                       bits_start_tow_s=bits_start, n_subframes=1,
+                       cn0_db_hz=48.0, seed=5)
+    cfg = ReceiverConfig(fs=fs, n_channels=4, acq_pfa=0.001,
+                         use_acquisition_resampler=True)
+    receiver = Receiver(cfg, satellites=list(prns))
+    assert receiver._acq_decim == 2
+    assert receiver.acq.cfg.fs == pytest.approx(2.5e6)
+    n = int(fs * 1.0)
+    receiver.run(x[: n + receiver.overlap + receiver.block_samples])
+    from gnss_sdr_tpu.receiver import ChannelState
+    states = receiver.channel_states()
+    n_tracking = sum(s is ChannelState.TRACKING for s in states)
+    assert n_tracking >= 3, states
+
+
+def test_satellite_pool_rotation_on_failed_acquisition(scene):
+    """A channel whose satellite is not visible rotates it back through
+    the pool and acquires the next one (gnss_flowgraph.cc:1924-1940)
+    instead of starving on retries."""
+    # PRN 20 is not in the scene: the single channel must give up on it
+    # and move on to a visible satellite.
+    visible = list(scene["prns"])[:2]
+    pool = [20] + visible
+    cfg = ReceiverConfig(fs=FS, n_channels=1, acq_pfa=0.001)
+    receiver = Receiver(cfg, satellites=pool)
+    n = int(FS * 1.0)
+    receiver.run(scene["x"][: n + receiver.overlap + receiver.block_samples])
+    from gnss_sdr_tpu.receiver import ChannelState
+    fsm = receiver.fsms[0]
+    assert fsm.state is ChannelState.TRACKING
+    assert fsm.prn in visible
+    assert 20 in receiver.sat_pool
