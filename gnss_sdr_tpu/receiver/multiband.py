@@ -2,12 +2,19 @@
 
 The hybrid-receiver capability of the reference (GNSSFlowgraph wiring N
 channels of several signals into one observables/PVT chain — BASELINE
-config 4): each band (GPS L1 C/A "1C", Galileo E1-B "1B") gets its own
-batched acquisition engine, tracking-channel engine and telemetry
-decoders; a single common-reception-time observables engine and one PVT
-solver fuse all bands' measurements (GST and GPS time are taken as
-aligned; the inter-constellation bias is absorbed by the solver clock for
-simulation scenes and would become an extra unknown with real data).
+config 4): each band (GPS L1 C/A "1C", Galileo E1-B "1B", GLONASS L1
+C/A "1G", BeiDou B1I "B1", GPS L5 "L5") gets its own batched
+acquisition engine, tracking-channel engine and telemetry decoders; a
+single common-reception-time observables engine and one PVT solver fuse
+all bands' measurements. Each band may ride its own RF stream (the
+reference's SignalSource.RF_channels concept,
+gnss_flowgraph.cc:1007-1117): pass ``run``/``process_block`` a
+``{suffix: samples}`` dict, or one array shared by all bands.
+
+Time bases: GST and GPS time are taken as aligned; GLONASS day time is
+taken aligned for simulation scenes (the constant UTC+3h/leap offset of
+real data is absorbed by the solver's GLO inter-system state); BeiDou
+BDT likewise (real BDT = GPST - 14 s).
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ import dataclasses
 import numpy as np
 
 from gnss_sdr_tpu.acquisition.adapters import (
+    make_acquisition,
     make_galileo_e1_acquisition,
     make_gps_l1ca_acquisition,
 )
@@ -36,9 +44,29 @@ from gnss_sdr_tpu.tracking import TrackingConfig
 from gnss_sdr_tpu.tracking.channels import TrackingChannels
 
 
+class _SlotAcquisition:
+    """FDMA acquisition front: one PCPS engine per frequency slot.
+
+    GLONASS satellites share the single m-sequence but sit on per-slot
+    carriers k * 562.5 kHz from band center; each distinct slot gets a
+    PCPS engine whose Doppler grid is centered on its slot offset
+    (GLONASS_L1_CA_PCPS_Acquisition adapter + the doppler_center
+    mechanism of acq_conf.h). ``search`` fans out and merges."""
+
+    def __init__(self, engines: list):
+        self._engines = engines
+        self.cfg = engines[0].cfg
+
+    def search(self, samples, samplestamp=0):
+        out = {}
+        for eng in self._engines:
+            out.update(eng.search(samples, samplestamp=samplestamp))
+        return out
+
+
 @dataclasses.dataclass
 class BandConfig:
-    suffix: str                  # "1C" or "1B"
+    suffix: str                  # "1C", "1B", "1G", "B1", "L5"
     satellites: list[int] = dataclasses.field(default_factory=list)
     n_channels: int = 4
     doppler_max: float = 5000.0
@@ -51,6 +79,8 @@ class BandConfig:
     fll_bw_hz: float = 35.0
     pull_in_time_s: float = 0.5
     early_late_space_chips: float = 0.5
+    # GLONASS FDMA: satellite slot number -> frequency channel k (-7..6)
+    freq_slots: dict[int, int] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -104,13 +134,86 @@ class _Band:
                 very_early_late_space_chips=0.6)
             self.code_table = lambda prn: galileo_e1_subchips(prn, "B", True)
             self.new_decoder = GalileoInavDecoder
+        elif sx == "1G":
+            # GLONASS L1 C/A FDMA: shared 511-chip m-sequence, per-slot
+            # carrier offsets handled as per-channel IF in tracking
+            # (glonass_l1_ca_dll_pll_tracking.cc role) and as Doppler
+            # centers in acquisition
+            from gnss_sdr_tpu.codes.glonass_l1ca import glonass_l1ca_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                GlonassGnavPeriodDecoder)
+
+            self.system = "R"
+            self.period_ms = 1.0
+            engines = []
+            for k in sorted({cfg.freq_slots.get(s, 0)
+                             for s in cfg.satellites}):
+                prns_k = [s for s in sorted(cfg.satellites)
+                          if cfg.freq_slots.get(s, 0) == k]
+                engines.append(make_acquisition(
+                    "GLONASS_L1_CA_PCPS_Acquisition", prns_k, fs,
+                    doppler_center=k * 562_500.0,
+                    doppler_max=cfg.doppler_max,
+                    doppler_step=cfg.doppler_step, pfa=cfg.acq_pfa,
+                    max_dwells=cfg.acq_dwells))
+            self.acq = _SlotAcquisition(engines)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=511, chip_rate_cps=0.511e6,
+                carrier_hz=1602.0e6, symbols_per_bit=10,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=cfg.early_late_space_chips)
+            self.code_table = lambda prn: np.asarray(
+                glonass_l1ca_code(), dtype=np.float32)
+            self.new_decoder = GlonassGnavPeriodDecoder
+        elif sx == "B1":
+            from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                BeidouD1PeriodDecoder)
+
+            self.system = "C"
+            self.period_ms = 1.0
+            self.acq = make_acquisition(
+                "BEIDOU_B1I_PCPS_Acquisition", sorted(cfg.satellites), fs,
+                doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
+                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=2046, chip_rate_cps=2.046e6,
+                carrier_hz=1561.098e6, symbols_per_bit=20,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=min(
+                    cfg.early_late_space_chips, 0.5))
+            self.code_table = lambda prn: np.asarray(
+                beidou_b1i_code(prn), dtype=np.float32)
+            self.new_decoder = BeidouD1PeriodDecoder
         else:
             raise ValueError(f"unsupported band suffix {sx!r}")
         self.tracking = TrackingChannels(trk, cfg.n_channels, block_samples)
         self.decoders = [self.new_decoder() for _ in range(cfg.n_channels)]
 
-    def make_ephemeris(self, prn: int, decoder) -> GpsEphemeris:
+    def if_freq(self, prn: int) -> float:
+        """Per-satellite IF offset (GLONASS FDMA slot; 0 elsewhere)."""
+        if self.cfg.suffix == "1G":
+            return self.cfg.freq_slots.get(prn, 0) * 562_500.0
+        return 0.0
+
+    def carrier_hz(self, prn: int) -> float:
+        """Per-satellite carrier (FDMA slot frequency; band carrier else)."""
+        return self.tracking.cfg.carrier_hz + self.if_freq(prn)
+
+    def make_ephemeris(self, prn: int, decoder):
         if self.system == "G":
+            return GpsEphemeris.from_fields(prn, decoder.ephemeris_fields)
+        if self.system == "R":
+            from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
+
+            return GlonassEphemeris.from_fields(prn, decoder.ephemeris_fields)
+        if self.system == "C":
+            # BDS Kepler containers reuse the GPS evaluator (CGCS2000 and
+            # WGS-84 GM/omega_e agree to 1e-9; note for real data)
             return GpsEphemeris.from_fields(prn, decoder.ephemeris_fields)
         return galileo_ephemeris_from_inav(prn, decoder.ephemeris_fields)
 
@@ -138,6 +241,9 @@ class MultiBandReceiver:
         self._last_solve_tow_ms: float | None = None
         self._overlap = max(b.tracking.overlap for b in self.bands)
         self._chan_sat: dict[int, tuple[str, int]] = {}
+        self._chan_band: dict[int, _Band] = {
+            band.ch_offset + i: band
+            for band in self.bands for i in range(band.cfg.n_channels)}
 
     @property
     def overlap(self) -> int:
@@ -146,21 +252,47 @@ class MultiBandReceiver:
     def channel_states(self):
         return [f.state for band in self.bands for f in band.fsms]
 
-    def run(self, samples: np.ndarray) -> list[PvtSolution]:
-        n_blocks = (len(samples) - self._overlap) // self.block_samples
+    def run(self, samples) -> list[PvtSolution]:
+        """``samples``: one array shared by all bands, or a
+        ``{band suffix: array}`` dict of per-RF-channel streams."""
+        if isinstance(samples, dict):
+            n = min(len(v) for v in samples.values())
+        else:
+            n = len(samples)
+        n_blocks = (n - self._overlap) // self.block_samples
         for k in range(n_blocks):
             lo = k * self.block_samples
-            self.process_block(
-                samples[lo: lo + self.block_samples + self._overlap])
+            hi = lo + self.block_samples + self._overlap
+            if isinstance(samples, dict):
+                self.process_block({s: v[lo:hi] for s, v in samples.items()})
+            else:
+                self.process_block(samples[lo:hi])
         return self.solutions
 
-    def process_block(self, block: np.ndarray) -> list[PvtSolution]:
+    def process_block(self, block) -> list[PvtSolution]:
         for band in self.bands:
-            self._manage_acquisition(band, block)
+            b = block[band.cfg.suffix] if isinstance(block, dict) else block
+            self._manage_acquisition(band, b)
             per_channel = band.tracking.process_block(
-                block[: self.block_samples + band.tracking.overlap])
+                b[: self.block_samples + band.tracking.overlap])
             self._feed_band(band, per_channel)
+        self._share_coarse_time()
         return self._run_pvt()
+
+    def _share_coarse_time(self) -> None:
+        """Give time-poor decoders (GLONASS GNAV between string-1s) the
+        best TOW any band has, so their 30 s frame-grid anchor resolves
+        (period_decoders.GlonassGnavPeriodDecoder.coarse_tow_ms)."""
+        tows = [d.tow_at_last_symbol_ms
+                for band in self.bands for d in band.decoders
+                if d.tow_at_last_symbol_ms is not None]
+        if not tows:
+            return
+        coarse = max(tows)
+        for band in self.bands:
+            for d in band.decoders:
+                if hasattr(d, "coarse_tow_ms"):
+                    d.coarse_tow_ms = coarse
 
     # -- per-band control (mirrors Receiver) ------------------------------
     def _manage_acquisition(self, band: _Band, block: np.ndarray) -> None:
@@ -180,16 +312,26 @@ class MultiBandReceiver:
                                   samplestamp=stamp)
         for prn, fsm in searching.items():
             res = results.get(prn)
-            if res is not None and res.positive:
+            if res is None:
+                continue
+            if res.positive:
                 fsm.valid_acquisition()
                 local_ch = fsm.channel_id - band.ch_offset
+                if_hz = band.if_freq(prn)
+                # FDMA: the acquisition Doppler grid is centered on the
+                # slot offset, so the loop Doppler is the residual
                 band.tracking.start_channel(
                     local_ch, prn, band.code_table(prn),
-                    res.delay_samples, res.doppler_hz,
-                    res.samplestamp_samples)
+                    res.delay_samples, res.doppler_hz - if_hz,
+                    res.samplestamp_samples, if_freq_hz=if_hz)
                 band.decoders[local_ch] = band.new_decoder()
                 self.observables.reset_channel(fsm.channel_id)
                 self._chan_sat[fsm.channel_id] = (band.system, prn)
+            elif band.sat_pool:
+                # rotate the pool on a negative search (flowgraph
+                # push_back_signal semantics, gnss_flowgraph.cc:1924-1940)
+                band.sat_pool.append(prn)
+                fsm.prn = band.sat_pool.popleft()
 
     def _feed_band(self, band: _Band, per_channel) -> None:
         for local_ch, periods in enumerate(per_channel):
@@ -234,10 +376,12 @@ class MultiBandReceiver:
                 if key is None or key not in self.ephemerides:
                     continue
                 row.prn = key[1]
+                band = self._chan_band[row.channel]
                 obs.append(Observation(
                     prn=key[1], pseudorange_m=row.pseudorange_m,
                     eph=self.ephemerides[key], doppler_hz=row.doppler_hz,
-                    cn0_db_hz=row.cn0_db_hz))
+                    carrier_hz=band.carrier_hz(key[1]),
+                    cn0_db_hz=row.cn0_db_hz, system=key[0]))
             if len(obs) < 4:
                 continue
             sol = solve_pvt(obs, rx_tow_ms * 1e-3,

@@ -11,6 +11,8 @@ src/tests/system-tests/position_test.cc).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from gnss_sdr_tpu.codes import gps_l1ca_code
@@ -212,6 +214,238 @@ def generate_galileo_scene(
         taps = sp_signal.firwin(65, 0.9)
         out = sp_signal.fftconvolve(out, taps, mode="same")
 
+    if noise:
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        out = out + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return out.astype(np.complex64)
+
+
+def _light_time_grid(eph, rx_of, t_start, duration_s, tau_grid_hz):
+    n_grid = int(duration_s * tau_grid_hz) + 3
+    t_grid = t_start + np.arange(n_grid) / tau_grid_hz
+    taus = np.empty(n_grid)
+    for i, tg in enumerate(t_grid):
+        rho, _, _ = true_range_and_rate(
+            eph, np.asarray(rx_of(tg), dtype=float), tg)
+        taus[i] = rho / SPEED_OF_LIGHT_M_S
+    return t_grid, taus
+
+
+def _bandlimit(x: np.ndarray) -> np.ndarray:
+    # front-end anti-alias smoothing (see generate_scene)
+    from scipy import signal as sp_signal
+
+    taps = sp_signal.firwin(65, 0.9)
+    return sp_signal.fftconvolve(x, taps, mode="same")
+
+
+def generate_glonass_scene(
+    ephs: dict,
+    slots: dict,
+    prns: list[int],
+    rx_ecef: np.ndarray,
+    t_start: float,
+    duration_s: float,
+    fs: float,
+    frame_start_tow_s: float,
+    cn0_db_hz: float = 48.0,
+    seed: int = 2,
+    tau_grid_hz: float = 10.0,
+    noise: bool = True,
+    bandlimit: bool = True,
+) -> np.ndarray:
+    """Geometry-accurate GLONASS L1 C/A FDMA scene with live GNAV data.
+
+    ``ephs``: slot number -> :class:`GlonassEphemeris` (state-vector, SI);
+    ``slots``: slot number -> FDMA frequency channel k in -7..6. Baseband
+    is centered on 1602 MHz, so slot k rides at +k*562.5 kHz
+    (GLONASS_L1_L2_CA.h:76-79). ``frame_start_tow_s`` must be a multiple
+    of 30 s (GNAV frame grid, ICD 4.2); strings cycle ids 1..15 with the
+    ephemeris in strings 1-4 and valid-KX filler elsewhere, each string =
+    1.7 s bi-binary data + 0.3 s time mark (glonass_gnav string layout).
+    The ephemeris is quantized to ICD scales before signal synthesis so
+    the decoded state matches the transmitted geometry exactly.
+    """
+    from gnss_sdr_tpu.codes.glonass_l1ca import glonass_l1ca_code
+    from gnss_sdr_tpu.telemetry.glonass_gnav import (build_string,
+                                                     string_to_symbols)
+
+    chip_rate = 0.511e6
+    code_len = 511
+    n = int(round(fs * duration_s))
+    t_rel = np.arange(n) / fs
+    out = None
+    rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
+    code = glonass_l1ca_code().astype(np.float64)
+
+    n_strings = int(np.ceil(
+        (t_start + duration_s - frame_start_tow_s) / 2.0)) + 1
+    day_s = frame_start_tow_s % 86400.0
+
+    for prn in prns:
+        eph = ephs[prn]
+        k = slots.get(prn, 0)
+        # quantize the broadcast state to ICD scales (what the receiver
+        # will decode), then synthesize geometry FROM the quantized state
+        f_ice = dict(
+            x_km=eph.pos_m[0] / 1e3, y_km=eph.pos_m[1] / 1e3,
+            z_km=eph.pos_m[2] / 1e3,
+            vx_km_s=eph.vel_m_s[0] / 1e3, vy_km_s=eph.vel_m_s[1] / 1e3,
+            vz_km_s=eph.vel_m_s[2] / 1e3,
+            ax_km_s2=eph.acc_m_s2[0] / 1e3, ay_km_s2=eph.acc_m_s2[1] / 1e3,
+            az_km_s2=eph.acc_m_s2[2] / 1e3,
+            gamma_n=eph.gamma_n, tau_n_s=eph.tau_n_s,
+            tb_min=int(round(eph.tb_s / 60.0)),
+        )
+
+        def q(v, scale):
+            return round(v / scale) * scale
+
+        f_q = dict(f_ice)
+        for key, scale in (("x_km", 2.0**-11), ("y_km", 2.0**-11),
+                           ("z_km", 2.0**-11),
+                           ("vx_km_s", 2.0**-20), ("vy_km_s", 2.0**-20),
+                           ("vz_km_s", 2.0**-20),
+                           ("ax_km_s2", 2.0**-30), ("ay_km_s2", 2.0**-30),
+                           ("az_km_s2", 2.0**-30),
+                           ("gamma_n", 2.0**-40), ("tau_n_s", 2.0**-30)):
+            f_q[key] = q(f_q[key], scale)
+        from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
+
+        eph_q = GlonassEphemeris.from_fields(prn, f_q)
+        eph_q = dataclasses.replace(eph_q, freq_slot=k)
+
+        t_grid, taus = _light_time_grid(eph_q, rx_of, t_start,
+                                        duration_s, tau_grid_hz)
+        tau_t = np.interp(t_start + t_rel, t_grid, taus)
+        dts = eph_q.clock_bias_s(t_start - float(taus[0]))
+
+        # GNAV string chips (10 ms each) from the frame origin
+        chips10 = []
+        for i in range(n_strings):
+            sid = (i % 15) + 1
+            fields = {"string_id": sid}
+            if sid == 1:
+                fields.update(t_k_s=day_s + 30.0 * (i // 15),
+                              vx_km_s=f_q["vx_km_s"],
+                              ax_km_s2=f_q["ax_km_s2"], x_km=f_q["x_km"])
+            elif sid == 2:
+                fields.update(tb_min=f_q["tb_min"],
+                              vy_km_s=f_q["vy_km_s"],
+                              ay_km_s2=f_q["ay_km_s2"], y_km=f_q["y_km"])
+            elif sid == 3:
+                fields.update(gamma_n=f_q["gamma_n"],
+                              vz_km_s=f_q["vz_km_s"],
+                              az_km_s2=f_q["az_km_s2"], z_km=f_q["z_km"])
+            elif sid == 4:
+                fields.update(tau_n_s=f_q["tau_n_s"], n_t=803)
+            chips10.append(string_to_symbols(build_string(fields)))
+        chips10 = np.concatenate(chips10)
+
+        # transmit-time (seconds since frame origin), code + data layers
+        t_tx = (t_start - frame_start_tow_s) + t_rel - tau_t + dts
+        chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
+        spread = code[chip_idx % code_len]
+        d_idx = np.clip(np.floor(t_tx / 0.01).astype(np.int64),
+                        0, len(chips10) - 1)
+        spread = spread * chips10[d_idx]
+
+        f_slot = 1602.0e6 + k * 562_500.0
+        phase = -2.0 * np.pi * f_slot * tau_t \
+            + 2.0 * np.pi * (k * 562_500.0) * t_rel
+        sig = spread * np.exp(1j * phase)
+        out = sig if out is None else out + sig
+
+    if bandlimit:
+        out = _bandlimit(out)
+    if noise:
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        out = out + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return out.astype(np.complex64)
+
+
+def generate_beidou_scene(
+    ephs: dict[int, GpsEphemeris],
+    prns: list[int],
+    rx_ecef: np.ndarray,
+    t_start: float,
+    duration_s: float,
+    fs: float,
+    sow_start_s: float,
+    cn0_db_hz: float = 48.0,
+    seed: int = 4,
+    tau_grid_hz: float = 10.0,
+    noise: bool = True,
+    bandlimit: bool = True,
+) -> np.ndarray:
+    """Geometry-accurate BeiDou B1I scene with live D1 data + NH20.
+
+    ``ephs``: Kepler containers (BDS D1 uses the same parameterization;
+    CGCS2000 == WGS-84 to 1e-9 here). ``sow_start_s`` must be a multiple
+    of 6 s (subframe grid); subframes cycle 1-2-3. Each 20 ms data symbol
+    is spread by the NH20 secondary, one NH chip per 1 ms code period
+    (BEIDOU_B1I.h, beidou_b1i_telemetry_decoder_gs.cc:208-260).
+    """
+    from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
+    from gnss_sdr_tpu.telemetry.beidou_d1 import (build_subframe,
+                                                  subframe_to_symbols)
+    from gnss_sdr_tpu.telemetry.period_decoders import BEIDOU_NH20
+
+    chip_rate = 2.046e6
+    code_len = 2046
+    carrier = 1561.098e6
+    n = int(round(fs * duration_s))
+    t_rel = np.arange(n) / fs
+    out = None
+    rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
+    nh = np.array([1.0 if c == "0" else -1.0 for c in BEIDOU_NH20])
+
+    n_sf = int(np.ceil((t_start + duration_s - sow_start_s) / 6.0)) + 1
+    for prn in prns:
+        eph = ephs[prn]
+        t_grid, taus = _light_time_grid(eph, rx_of, t_start,
+                                        duration_s, tau_grid_hz)
+        tau_t = np.interp(t_start + t_rel, t_grid, taus)
+        dts = eph.clock_bias_s(t_start - float(taus[0])) - eph.tgd_s
+
+        syms = []
+        for i in range(n_sf):
+            fid = (i % 3) + 1
+            fields = dict(
+                sow=sow_start_s + 6.0 * i, wn=eph.week_number,
+                toc=eph.toc_s, tgd1=eph.tgd_s,
+                a0=eph.af0, a1=eph.af1, a2=eph.af2,
+                delta_n=eph.delta_n_rad_s, cuc=eph.cuc_rad,
+                m0=eph.m0_rad, e=eph.ecc, cus=eph.cus_rad,
+                crc=eph.crc_m, crs=eph.crs_m, sqrt_a=eph.sqrt_a,
+                toe=eph.toe_s, i0=eph.i0_rad, cic=eph.cic_rad,
+                omega_dot=eph.omega_dot_rad_s, cis=eph.cis_rad,
+                idot=eph.idot_rad_s, omega_0=eph.omega0_rad,
+                omega=eph.omega_rad,
+            )
+            tx = subframe_to_symbols(build_subframe(fid, fields))
+            syms.append(np.where(tx == 1, -1.0, 1.0))
+        syms = np.concatenate(syms)
+
+        code = beidou_b1i_code(prn).astype(np.float64)
+        t_tx = (t_start - sow_start_s) + t_rel - tau_t + dts
+        chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
+        spread = code[chip_idx % code_len]
+        ms_idx = np.floor(t_tx * 1000.0).astype(np.int64)  # 1 ms periods
+        spread = spread * nh[ms_idx % 20]
+        sym_idx = np.clip(ms_idx // 20, 0, len(syms) - 1)
+        spread = spread * syms[sym_idx]
+
+        phase = -2.0 * np.pi * carrier * tau_t
+        sig = spread * np.exp(1j * phase)
+        out = sig if out is None else out + sig
+
+    if bandlimit:
+        out = _bandlimit(out)
     if noise:
         sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
         out = out + sigma * (rng.standard_normal(n)

@@ -1,0 +1,227 @@
+"""Per-PRN-period decoder facades for non-GPS-L1 telemetry layers.
+
+The receiver's telemetry interface feeds decoders one prompt per code
+period (1 ms for L1-class signals) — the convention GpsLnavDecoder and
+GalileoInavDecoder implement natively. GLONASS GNAV and BeiDou D1 carry
+extra sub-layers between the PRN period and the navigation symbol:
+
+- GNAV: 10 ms bi-binary (meander) chips = 10 PRN periods each, with the
+  chip boundary unknown at tracking start
+  (/root/reference/src/algorithms/telemetry_decoder/gnuradio_blocks/
+  glonass_l1_ca_telemetry_decoder_gs.cc:160-210 does the same
+  accumulation in its d_symbol history);
+- D1: the NH20 secondary code at one NH chip per PRN period, wiped off
+  to form 20 ms data symbols
+  (beidou_b1i_telemetry_decoder_gs.cc:208-260).
+
+These facades synchronize the sub-layer (meander chip phase / NH20
+phase), accumulate periods coherently, drive the string/subframe decoder
+underneath, and maintain a per-period ``tow_at_last_symbol_ms`` so the
+observables engine can anchor pseudoranges at any period boundary —
+exactly the interface GpsLnavDecoder exposes.
+"""
+
+from __future__ import annotations
+
+from gnss_sdr_tpu.telemetry.beidou_d1 import BeidouD1Decoder, D1SubframeUpdate
+from gnss_sdr_tpu.telemetry.glonass_gnav import (
+    GlonassGnavDecoder,
+    GnavStringUpdate,
+)
+from gnss_sdr_tpu.tracking.bit_sync import BitSync
+
+#: BeiDou NH20 secondary code (BEIDOU_B1I.h NH code), one chip per PRN period
+BEIDOU_NH20 = "00000100110101001110"
+
+
+class _Nh20Sync:
+    """Data-agnostic NH20 phase search.
+
+    SecondaryCodeSync (pilot channels) correlates coherently across its
+    whole window — correct for a data-free pilot, but B1I's NH code rides
+    ON the 50 bps data, so window-level coherence cancels at bit flips.
+    Here each candidate phase scores one |correlation| per complete NH
+    frame (20 periods = one data bit, constant sign inside), summed over
+    several frames; the data sign drops out per-frame.
+    """
+
+    def __init__(self, signs: list[float], frames: int = 4):
+        self.signs = signs
+        self.k = len(signs)
+        self.frames = frames
+        self.history: list[float] = []
+        self.phase: int | None = None  # period index mod k of NH start
+
+    @property
+    def synced(self) -> bool:
+        return self.phase is not None
+
+    def feed(self, prompt_i: float, period_idx: int) -> bool:
+        self.history.append(1.0 if prompt_i >= 0 else -1.0)
+        need = (self.frames + 1) * self.k
+        if self.synced or len(self.history) < need:
+            return False
+        base = period_idx + 1 - len(self.history)  # abs idx of history[0]
+        best, best_phase, second = 0.0, 0, 0.0
+        for c in range(self.k):
+            # first NH-frame start at or after base for this candidate
+            start = base + (c - base) % self.k
+            score = 0.0
+            for w in range(self.frames):
+                lo = start + w * self.k - base
+                corr = sum(self.history[lo + i] * self.signs[i]
+                           for i in range(self.k))
+                score += abs(corr)
+            if score > best:
+                second = best
+                best, best_phase = score, c
+            elif score > second:
+                second = score
+        # perfect score on every frame + margin (NH20 cyclic-autocorrelation
+        # sidelobes are <= 4/20 per frame, so 0.7 is a wide guard band)
+        if best == self.frames * self.k and second <= 0.7 * best:
+            self.phase = best_phase
+            return True
+        return False
+
+    def periods_into_code(self, period_idx: int) -> int:
+        assert self.phase is not None
+        return (period_idx - self.phase) % self.k
+
+
+class GlonassGnavPeriodDecoder:
+    """GNAV over 1 ms prompts: meander-chip sync + 10x accumulation.
+
+    TOW anchoring: string s's trailing time mark ends at frame-relative
+    time 2s seconds; string 1 carries t_k (frame start within the
+    GLONASS day), so its decode sets tow = (t_k + 2) s and later strings
+    re-anchor at (t_k + 2s). Between decodes TOW advances one
+    millisecond per period, like the reference's per-symbol TOW
+    propagation.
+
+    Coarse-time aiding: GNAV frames start on the 30 s grid of the
+    GLONASS day (ICD 4.2), so the end of string s is congruent to
+    2s mod 30 s. With a coarse external time (another constellation's
+    TOW, accurate to well under 15 s) set via :attr:`coarse_tow_ms`,
+    any decoded string resolves absolute time without waiting up to
+    30 s for the next string 1 — the GLONASS analogue of Z-count
+    recovery from handover.
+    """
+
+    PERIODS_PER_CHIP = 10
+
+    def __init__(self):
+        self.dec = GlonassGnavDecoder()
+        self._chip_sync = BitSync(symbols_per_bit=self.PERIODS_PER_CHIP)
+        self._period_idx = 0
+        self._acc = 0.0
+        self._acc_n = 0
+        self.tow_at_last_symbol_ms: float | None = None
+        #: coarse receiver time (ms, same day base as GNAV), settable by
+        #: the receiver from another constellation's TOW
+        self.coarse_tow_ms: float | None = None
+
+    def feed(self, prompt_i: float, sample_stamp: int) -> GnavStringUpdate | None:
+        idx = self._period_idx
+        self._period_idx += 1
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += 1.0
+        if not self._chip_sync.synced:
+            self._chip_sync.feed(prompt_i)
+            return None
+        into = (idx - self._chip_sync.bit_phase) % self.PERIODS_PER_CHIP
+        if into == 0:
+            self._acc = 0.0
+            self._acc_n = 0
+        self._acc += float(prompt_i)
+        self._acc_n += 1
+        if into != self.PERIODS_PER_CHIP - 1 \
+                or self._acc_n != self.PERIODS_PER_CHIP:
+            return None
+        update = self.dec.feed(self._acc, sample_stamp)
+        if update is not None:
+            sid = update.string_id
+            if sid == 1 and "t_k_s" in update.fields:
+                # exact anchor: string 1's time mark ends at t_k + 2 s
+                self.tow_at_last_symbol_ms = \
+                    (float(update.fields["t_k_s"]) + 2.0) * 1e3
+            else:
+                # 30 s frame grid (ICD 4.2): end of string s is = 2s mod
+                # 30; the propagated TOW (sub-ms) or external coarse time
+                # (< 15 s error) resolves the frame index
+                ref = self.tow_at_last_symbol_ms \
+                    if self.tow_at_last_symbol_ms is not None \
+                    else self.coarse_tow_ms
+                if ref is not None and 1 <= sid <= 15:
+                    mod = 2.0 * sid % 30.0
+                    frame = round((ref * 1e-3 - mod) / 30.0) * 30.0
+                    self.tow_at_last_symbol_ms = (frame + mod) * 1e3
+        return update
+
+    @property
+    def ephemeris_fields(self) -> dict:
+        return self.dec.ephemeris_fields
+
+    def has_full_ephemeris(self) -> bool:
+        return self.dec.has_full_ephemeris()
+
+    # GPS-decoder interface parity (no broadcast iono in GNAV strings 1-4)
+    utc_iono_fields: dict = {}
+
+
+class BeidouD1PeriodDecoder:
+    """D1 over 1 ms prompts: NH20 sync + wipe-off + 20x accumulation.
+
+    The NH20 phase search reuses SecondaryCodeSync (the same engine the
+    pilot-tracking path uses); once locked, each NH frame of 20 periods
+    collapses to one 20 ms data symbol for BeidouD1Decoder. TOW advances
+    per period between subframe decodes.
+    """
+
+    PERIODS_PER_SYMBOL = 20
+
+    def __init__(self):
+        self.dec = BeidouD1Decoder()
+        self._signs = [1.0 if c == "0" else -1.0 for c in BEIDOU_NH20]
+        self._nh = _Nh20Sync(self._signs)
+        self._period_idx = 0
+        self._acc = 0.0
+        self._acc_n = 0
+        self.tow_at_last_symbol_ms: float | None = None
+
+    def feed(self, prompt_i: float, sample_stamp: int) -> D1SubframeUpdate | None:
+        idx = self._period_idx
+        self._period_idx += 1
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += 1.0
+        if not self._nh.synced:
+            self._nh.feed(prompt_i, idx)
+            return None
+        into = self._nh.periods_into_code(idx)
+        if into == 0:
+            self._acc = 0.0
+            self._acc_n = 0
+        self._acc += float(prompt_i) * self._signs[into]
+        self._acc_n += 1
+        if into != self.PERIODS_PER_SYMBOL - 1 \
+                or self._acc_n != self.PERIODS_PER_SYMBOL:
+            return None
+        # sign ambiguity (Costas half-cycle x NH polarity) is resolved by
+        # the D1 decoder's preamble inversion detection
+        update = self.dec.feed(self._acc, sample_stamp)
+        if self.dec.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms = self.dec.tow_at_last_symbol_ms
+        return update
+
+    @property
+    def ephemeris_fields(self) -> dict:
+        return self.dec.ephemeris_fields
+
+    def has_full_ephemeris(self) -> bool:
+        return self.dec.has_full_ephemeris()
+
+    @property
+    def subframes(self) -> dict:
+        return self.dec.subframes
+
+    utc_iono_fields: dict = {}
