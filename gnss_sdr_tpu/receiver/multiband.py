@@ -67,6 +67,10 @@ class _SlotAcquisition:
 @dataclasses.dataclass
 class BandConfig:
     suffix: str                  # "1C", "1B", "1G", "B1", "L5"
+    #: per-band sample rate (RF_channels may run different front-end
+    #: rates); None inherits MultiBandConfig.fs. Anchors are rescaled to
+    #: the common timebase before the observables engine.
+    fs: float | None = None
     satellites: list[int] = dataclasses.field(default_factory=list)
     n_channels: int = 4
     doppler_max: float = 5000.0
@@ -95,12 +99,17 @@ class MultiBandConfig:
 
 
 class _Band:
-    def __init__(self, cfg: BandConfig, fs: float, block_samples: int,
+    def __init__(self, cfg: BandConfig, fs: float, block_ms: int,
                  ch_offset: int):
         self.cfg = cfg
+        self.fs = fs
+        self.block_samples = int(round(fs * block_ms * 1e-3))
+        block_samples = self.block_samples
         self.ch_offset = ch_offset
         self.sat_pool = collections.deque(cfg.satellites)
         self.fsms = [ChannelFsm(ch_offset + i) for i in range(cfg.n_channels)]
+        self.data_code_table = None      # dual-component bands only
+        self.symbol_axis = "real"        # decoder symbol source axis
         sx = cfg.suffix
         if sx == "1C":
             self.system = "G"
@@ -167,6 +176,75 @@ class _Band:
             self.code_table = lambda prn: np.asarray(
                 glonass_l1ca_code(), dtype=np.float32)
             self.new_decoder = GlonassGnavPeriodDecoder
+        elif sx == "L5":
+            # GPS L5: QPSK data (I, NH10+CNAV) / pilot (Q, NH20). Loops
+            # track the L5Q pilot code; a data-prompt correlator feeds the
+            # CNAV decoder (dll_pll_veml_tracking.cc:211-246 track_pilot
+            # setup; GPS_L5.h:33-39).
+            from gnss_sdr_tpu.codes.gps_l5 import (gps_l5i_code,
+                                                   gps_l5q_code)
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                GpsL5PeriodDecoder)
+
+            self.system = "G"
+            self.period_ms = 1.0
+            # bit_transition mode: the NH10/NH20 secondaries flip sign at
+            # every code boundary, which nulls plain 1 ms dwells whose
+            # circular peak sits mid-buffer; the doubled-buffer straddling
+            # correlation is transition-proof (pcps_acquisition.cc:622,669)
+            self.acq = make_acquisition(
+                "GPS_L5i_PCPS_Acquisition", sorted(cfg.satellites), fs,
+                doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
+                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
+                bit_transition_flag=True)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=10230, chip_rate_cps=10.23e6,
+                carrier_hz=1176.45e6, symbols_per_bit=10, track_pilot=True,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                # ~1.17 samples/chip: integer-sample acquisition delay
+                # (+ the reference replica's AUX_CEIL one-sample timing
+                # convention) can miss the code phase by > 1 chip; a
+                # 1-chip spacing keeps the E-L capture range above that
+                early_late_space_chips=max(cfg.early_late_space_chips, 1.0))
+            self.code_table = lambda prn: np.asarray(
+                gps_l5q_code(prn), dtype=np.float32)
+            self.data_code_table = lambda prn: np.asarray(
+                gps_l5i_code(prn), dtype=np.float32)
+            # pilot-locked PLL leaves the data component on the imag axis
+            # (the reference's interchange_iq role)
+            self.symbol_axis = "imag"
+            self.new_decoder = lambda: GpsL5PeriodDecoder(fs=fs)
+        elif sx == "5X":
+            # Galileo E5a: QPSK data (I, CS20 + F/NAV) / pilot (Q, CS100).
+            # Same dual-component topology as GPS L5 (Galileo_E5a.h;
+            # dll_pll_veml_tracking.cc:291-325 pilot setup).
+            from gnss_sdr_tpu.codes.galileo_e5a import galileo_e5a_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                GalileoE5aPeriodDecoder)
+
+            self.system = "E"
+            self.period_ms = 1.0
+            self.acq = make_acquisition(
+                "Galileo_E5a_Pcps_Acquisition", sorted(cfg.satellites), fs,
+                doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
+                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
+                bit_transition_flag=True)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=10230, chip_rate_cps=10.23e6,
+                carrier_hz=1176.45e6, symbols_per_bit=20, track_pilot=True,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=max(cfg.early_late_space_chips, 1.0))
+            self.code_table = lambda prn: np.asarray(
+                galileo_e5a_code(prn, "Q"), dtype=np.float32)
+            self.data_code_table = lambda prn: np.asarray(
+                galileo_e5a_code(prn, "I"), dtype=np.float32)
+            self.symbol_axis = "imag"
+            self.new_decoder = lambda prn=1: GalileoE5aPeriodDecoder(
+                prn, fs=fs)
         elif sx == "B1":
             from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
             from gnss_sdr_tpu.telemetry.period_decoders import (
@@ -192,7 +270,15 @@ class _Band:
         else:
             raise ValueError(f"unsupported band suffix {sx!r}")
         self.tracking = TrackingChannels(trk, cfg.n_channels, block_samples)
-        self.decoders = [self.new_decoder() for _ in range(cfg.n_channels)]
+        self.decoders = [self.make_decoder() for _ in range(cfg.n_channels)]
+
+    def make_decoder(self, prn: int = 1):
+        """Fresh per-channel decoder; per-PRN where the telemetry layer
+        needs it (E5a's CS20 secondary is satellite-specific)."""
+        try:
+            return self.new_decoder(prn)
+        except TypeError:
+            return self.new_decoder()
 
     def if_freq(self, prn: int) -> float:
         """Per-satellite IF offset (GLONASS FDMA slot; 0 elsewhere)."""
@@ -205,7 +291,9 @@ class _Band:
         return self.tracking.cfg.carrier_hz + self.if_freq(prn)
 
     def make_ephemeris(self, prn: int, decoder):
-        if self.system == "G":
+        if self.system == "G" or self.cfg.suffix == "5X":
+            # GPS LNAV/CNAV and Galileo F/NAV all deliver the shared
+            # Kepler container keys (F/NAV BGD(E1,E5a) rides in tgd_s)
             return GpsEphemeris.from_fields(prn, decoder.ephemeris_fields)
         if self.system == "R":
             from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
@@ -227,7 +315,7 @@ class MultiBandReceiver:
         self.bands: list[_Band] = []
         offset = 0
         for b in bands:
-            band = _Band(b, cfg.fs, self.block_samples, offset)
+            band = _Band(b, b.fs or cfg.fs, cfg.block_ms, offset)
             self.bands.append(band)
             offset += b.n_channels
         self.total_channels = offset
@@ -239,7 +327,6 @@ class MultiBandReceiver:
             assisted_ephemeris or {})
         self.solutions: list[PvtSolution] = []
         self._last_solve_tow_ms: float | None = None
-        self._overlap = max(b.tracking.overlap for b in self.bands)
         self._chan_sat: dict[int, tuple[str, int]] = {}
         self._chan_band: dict[int, _Band] = {
             band.ch_offset + i: band
@@ -247,26 +334,42 @@ class MultiBandReceiver:
 
     @property
     def overlap(self) -> int:
-        return self._overlap
+        """Overlap of the (common-rate) band with the largest carryover,
+        expressed in common-fs samples (run() slicing margin)."""
+        return max(
+            int(np.ceil(b.tracking.overlap * self.cfg.fs / b.fs))
+            for b in self.bands)
 
     def channel_states(self):
         return [f.state for band in self.bands for f in band.fsms]
 
     def run(self, samples) -> list[PvtSolution]:
-        """``samples``: one array shared by all bands, or a
-        ``{band suffix: array}`` dict of per-RF-channel streams."""
+        """``samples``: one array shared by all bands (common fs), or a
+        ``{band suffix: array}`` dict of per-RF-channel streams, each at
+        its band's sample rate and starting at the same instant."""
         if isinstance(samples, dict):
-            n = min(len(v) for v in samples.values())
+            n_blocks = min(
+                (len(samples[b.cfg.suffix]) - b.tracking.overlap)
+                // b.block_samples for b in self.bands)
         else:
-            n = len(samples)
-        n_blocks = (n - self._overlap) // self.block_samples
+            n_blocks = min(
+                (len(samples) - b.tracking.overlap) // b.block_samples
+                for b in self.bands)
         for k in range(n_blocks):
-            lo = k * self.block_samples
-            hi = lo + self.block_samples + self._overlap
             if isinstance(samples, dict):
-                self.process_block({s: v[lo:hi] for s, v in samples.items()})
+                blk = {}
+                for b in self.bands:
+                    lo = k * b.block_samples
+                    hi = lo + b.block_samples + b.tracking.overlap
+                    blk[b.cfg.suffix] = samples[b.cfg.suffix][lo:hi]
+                self.process_block(blk)
             else:
-                self.process_block(samples[lo:hi])
+                blk = {}
+                for b in self.bands:
+                    lo = k * b.block_samples
+                    hi = lo + b.block_samples + b.tracking.overlap
+                    blk[b.cfg.suffix] = samples[lo:hi]
+                self.process_block(blk)
         return self.solutions
 
     def process_block(self, block) -> list[PvtSolution]:
@@ -274,25 +377,44 @@ class MultiBandReceiver:
             b = block[band.cfg.suffix] if isinstance(block, dict) else block
             self._manage_acquisition(band, b)
             per_channel = band.tracking.process_block(
-                b[: self.block_samples + band.tracking.overlap])
+                b[: band.block_samples + band.tracking.overlap])
             self._feed_band(band, per_channel)
         self._share_coarse_time()
         return self._run_pvt()
 
     def _share_coarse_time(self) -> None:
-        """Give time-poor decoders (GLONASS GNAV between string-1s) the
-        best TOW any band has, so their 30 s frame-grid anchor resolves
-        (period_decoders.GlonassGnavPeriodDecoder.coarse_tow_ms)."""
-        tows = [d.tow_at_last_symbol_ms
-                for band in self.bands for d in band.decoders
-                if d.tow_at_last_symbol_ms is not None]
+        """Cross-band time transfer.
+
+        (a) Coarse: give time-poor decoders (GLONASS GNAV between
+        string-1s) the best TOW any band has, so their 30 s frame-grid
+        anchor resolves (GlonassGnavPeriodDecoder.coarse_tow_ms).
+        (b) Exact same-SV aiding: decoders with autonomous TOW (LNAV)
+        publish ``(t_rx_s, tow_ms)`` pairs; same-satellite channels on
+        other bands (L5 CNAV before its first full message) snap their
+        symbol grid to it (GpsL5PeriodDecoder.time_aid)."""
+        tows = []
+        aids: dict[tuple[str, int], tuple[float, float]] = {}
+        for band in self.bands:
+            for i, d in enumerate(band.decoders):
+                if d.tow_at_last_symbol_ms is None:
+                    continue
+                tows.append(d.tow_at_last_symbol_ms)
+                fsm = band.fsms[i]
+                stamps = getattr(d, "stamps", None)
+                if not hasattr(d, "time_aid") and stamps:
+                    aids[(band.system, fsm.prn)] = (
+                        stamps[-1] / band.fs, d.tow_at_last_symbol_ms)
         if not tows:
             return
         coarse = max(tows)
         for band in self.bands:
-            for d in band.decoders:
+            for i, d in enumerate(band.decoders):
                 if hasattr(d, "coarse_tow_ms"):
                     d.coarse_tow_ms = coarse
+                if hasattr(d, "time_aid"):
+                    aid = aids.get((band.system, band.fsms[i].prn))
+                    if aid is not None:
+                        d.time_aid = aid
 
     # -- per-band control (mirrors Receiver) ------------------------------
     def _manage_acquisition(self, band: _Band, block: np.ndarray) -> None:
@@ -323,8 +445,10 @@ class MultiBandReceiver:
                 band.tracking.start_channel(
                     local_ch, prn, band.code_table(prn),
                     res.delay_samples, res.doppler_hz - if_hz,
-                    res.samplestamp_samples, if_freq_hz=if_hz)
-                band.decoders[local_ch] = band.new_decoder()
+                    res.samplestamp_samples, if_freq_hz=if_hz,
+                    data_code_table=(band.data_code_table(prn)
+                                     if band.data_code_table else None))
+                band.decoders[local_ch] = band.make_decoder(prn)
                 self.observables.reset_channel(fsm.channel_id)
                 self._chan_sat[fsm.channel_id] = (band.system, prn)
             elif band.sat_pool:
@@ -334,6 +458,8 @@ class MultiBandReceiver:
                 fsm.prn = band.sat_pool.popleft()
 
     def _feed_band(self, band: _Band, per_channel) -> None:
+        # anchors go to the observables engine in common-fs sample units
+        scale = self.cfg.fs / band.fs
         for local_ch, periods in enumerate(per_channel):
             fsm = band.fsms[local_ch]
             if fsm.state is not ChannelState.TRACKING:
@@ -349,20 +475,24 @@ class MultiBandReceiver:
                     self.observables.reset_channel(gch)
                     self._chan_sat.pop(gch, None)
                     break
-                dec.feed(p.prompt.real, p.sample_start + p.length)
+                symbol = (p.data_prompt.imag if band.symbol_axis == "imag"
+                          else p.prompt.real)
+                dec.feed(symbol, p.sample_start + p.length)
                 if dec.tow_at_last_symbol_ms is not None:
                     boundary = p.sample_start + p.rem_code_phase_samples
                     tow = dec.tow_at_last_symbol_ms - band.period_ms
                     self.observables.add_anchor(
-                        gch, boundary, tow, p.carrier_doppler_hz,
+                        gch, boundary * scale, tow, p.carrier_doppler_hz,
                         p.acc_carrier_phase_rad, p.cn0_db_hz)
             key = (band.system, fsm.prn)
             if dec.has_full_ephemeris() and key not in self.ephemerides:
                 self.ephemerides[key] = band.make_ephemeris(fsm.prn, dec)
 
     def _run_pvt(self) -> list[PvtSolution]:
-        limit = min(b.tracking.abs_block_start for b in self.bands) \
-            - 2 * max(b.tracking.engine.max_period for b in self.bands)
+        limit = min(
+            (b.tracking.abs_block_start
+             - 2 * b.tracking.engine.max_period) * self.cfg.fs / b.fs
+            for b in self.bands)
         new = []
         for rows in self.observables.epochs_until(limit):
             rx_tow_ms = rows[0].rx_tow_ms
@@ -382,7 +512,9 @@ class MultiBandReceiver:
                     eph=self.ephemerides[key], doppler_hz=row.doppler_hz,
                     carrier_hz=band.carrier_hz(key[1]),
                     cn0_db_hz=row.cn0_db_hz, system=key[0]))
-            if len(obs) < 4:
+            # dual-band rows duplicate satellites; the geometry needs >= 4
+            # DISTINCT satellites or the LS normal matrix is rank-deficient
+            if len({(o.system, o.prn) for o in obs}) < 4:
                 continue
             sol = solve_pvt(obs, rx_tow_ms * 1e-3,
                             apply_tropo=self.cfg.apply_tropo)

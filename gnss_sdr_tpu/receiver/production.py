@@ -88,6 +88,19 @@ class ProductionReceiver:
             rems[ch] = boundary - offs[ch]
             rcarr[ch] = math.fmod(
                 rcarr[ch] + steps[ch] * (boundary - old_boundary), TWO_PI)
+            # The skipped periods are real transmitted symbols: leaving a
+            # gap in the decoder's symbol stream breaks the 6000-symbol
+            # preamble periodicity, subframe parity windows and per-symbol
+            # TOW propagation (gps_l1_ca_telemetry_decoder_gs.cc counts
+            # every symbol). They all belong to the current data bit, so
+            # feed placeholders with the current bit's sign.
+            dec = rec.decoders[ch]
+            if skip and dec.history:
+                last = dec.history[-1]
+                stamp = dec.stamps[-1] if dec.stamps else 0
+                for j in range(1, skip + 1):
+                    dec.feed(last, stamp + int(round(j * t_prn)))
+                rec._period_count[ch] += skip
         self.fast_state = state._replace(
             offset=jnp.asarray(offs.astype(np.int32)),
             rem_code_phase_samples=jnp.asarray(rems.astype(np.float32)),

@@ -322,9 +322,14 @@ def generate_glonass_scene(
         tau_t = np.interp(t_start + t_rel, t_grid, taus)
         dts = eph_q.clock_bias_s(t_start - float(taus[0]))
 
-        # GNAV string chips (10 ms each) from the frame origin
+        # GNAV string chips (10 ms each). Two trailing strings of the
+        # PREVIOUS frame are prepended so a receiver starting shortly
+        # before the frame boundary sees a real time mark ahead of
+        # string 1 (without them the pre-frame stream is a clipped
+        # constant chip and the decoder can only sync one string late,
+        # missing string 1's t_k anchor).
         chips10 = []
-        for i in range(n_strings):
+        for i in range(-2, n_strings):
             sid = (i % 15) + 1
             fields = {"string_id": sid}
             if sid == 1:
@@ -348,7 +353,8 @@ def generate_glonass_scene(
         t_tx = (t_start - frame_start_tow_s) + t_rel - tau_t + dts
         chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
         spread = code[chip_idx % code_len]
-        d_idx = np.clip(np.floor(t_tx / 0.01).astype(np.int64),
+        # +4 s: chips10 starts two strings before the frame origin
+        d_idx = np.clip(np.floor((t_tx + 4.0) / 0.01).astype(np.int64),
                         0, len(chips10) - 1)
         spread = spread * chips10[d_idx]
 
@@ -356,6 +362,207 @@ def generate_glonass_scene(
         phase = -2.0 * np.pi * f_slot * tau_t \
             + 2.0 * np.pi * (k * 562_500.0) * t_rel
         sig = spread * np.exp(1j * phase)
+        out = sig if out is None else out + sig
+
+    if bandlimit:
+        out = _bandlimit(out)
+    if noise:
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        out = out + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return out.astype(np.complex64)
+
+
+def generate_gps_l5_scene(
+    ephs: dict[int, GpsEphemeris],
+    prns: list[int],
+    rx_ecef: np.ndarray,
+    t_start: float,
+    duration_s: float,
+    fs: float,
+    bits_start_tow_s: float,
+    cn0_db_hz: float = 48.0,
+    seed: int = 5,
+    tau_grid_hz: float = 10.0,
+    noise: bool = True,
+    bandlimit: bool = True,
+) -> np.ndarray:
+    """Geometry-accurate GPS L5 scene: data (I, NH10-spread CNAV at
+    100 sps) + pilot (Q, NH20), QPSK components at equal power
+    (GPS_L5.h:33-39; dll_pll_veml_tracking.cc:211-246 pilot setup).
+
+    ``bits_start_tow_s`` must be a CNAV message boundary (multiple of
+    6 s); messages cycle types 10/11/30 with live TOW, continuously
+    rate-1/2 encoded (gps_l2c/l5_telemetry_decoder_gs.cc CNAV framing).
+    The satellite clock applies (clock - TGD) on both components, i.e.
+    ISC_L5 = 0 in this simulation, keeping the solver's L1 TGD
+    convention consistent across bands.
+    """
+    from gnss_sdr_tpu.codes.gps_l5 import (NH10, NH20, gps_l5i_code,
+                                           gps_l5q_code)
+    from gnss_sdr_tpu.telemetry.gps_cnav import build_message
+    from gnss_sdr_tpu.telemetry.viterbi import encode_conv
+
+    chip_rate = 10.23e6
+    code_len = 10230
+    carrier = 1176.45e6
+    n = int(round(fs * duration_s))
+    t_rel = np.arange(n) / fs
+    out = None
+    rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
+    nh10 = np.array([1.0 if c == "0" else -1.0 for c in NH10])
+    nh20 = np.array([1.0 if c == "0" else -1.0 for c in NH20])
+    amp = 1.0 / np.sqrt(2.0)
+
+    n_msgs = int(np.ceil((t_start + duration_s - bits_start_tow_s) / 6.0)) + 1
+    type_cycle = (10, 11, 30)
+    for prn in prns:
+        eph = ephs[prn]
+        t_grid, taus = _light_time_grid(eph, rx_of, t_start,
+                                        duration_s, tau_grid_hz)
+        tau_t = np.interp(t_start + t_rel, t_grid, taus)
+        dts = eph.clock_bias_s(t_start - float(taus[0])) - eph.tgd_s
+
+        # continuous CNAV bit stream: one 300-bit message per 6 s, TOW =
+        # GPS time at the START of the NEXT message (IS-GPS-200 20.3.3.1)
+        bits = []
+        for i in range(n_msgs):
+            fields = dict(
+                prn=prn, msg_type=type_cycle[i % 3],
+                tow_s=bits_start_tow_s + 6.0 * (i + 1),
+                week_number=eph.week_number, toe_s=eph.toe_s,
+                delta_a_m=eph.sqrt_a**2 - 26_559_710.0,
+                delta_n_rad_s=eph.delta_n_rad_s, m0_rad=eph.m0_rad,
+                ecc=eph.ecc, omega_rad=eph.omega_rad,
+                omega0_rad=eph.omega0_rad, i0_rad=eph.i0_rad,
+                delta_omega_dot_rad_s=eph.omega_dot_rad_s
+                - (-2.6e-9) * np.pi,
+                idot_rad_s=eph.idot_rad_s, cis_rad=eph.cis_rad,
+                cic_rad=eph.cic_rad, crs_m=eph.crs_m, crc_m=eph.crc_m,
+                cus_rad=eph.cus_rad, cuc_rad=eph.cuc_rad,
+                toc_s=eph.toc_s, af0=eph.af0, af1=eph.af1, af2=eph.af2,
+                tgd_s=eph.tgd_s,
+            )
+            bits.append(build_message(fields))
+        symbols = encode_conv(np.concatenate(bits), kk=7, g=(0o171, 0o133))
+        symbols = np.where(symbols == 1, -1.0, 1.0)
+
+        cq = gps_l5q_code(prn).astype(np.float64)
+        ci = gps_l5i_code(prn).astype(np.float64)
+        t_tx = (t_start - bits_start_tow_s) + t_rel - tau_t + dts
+        chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
+        ms_idx = np.floor(t_tx * 1000.0).astype(np.int64)
+        pilot = cq[chip_idx % code_len] * nh20[ms_idx % 20]
+        sym_idx = np.clip(ms_idx // 10, 0, len(symbols) - 1)
+        data = ci[chip_idx % code_len] * nh10[ms_idx % 10] \
+            * symbols[sym_idx]
+
+        phase = -2.0 * np.pi * carrier * tau_t
+        sig = amp * (data + 1j * pilot) * np.exp(1j * phase)
+        out = sig if out is None else out + sig
+
+    if bandlimit:
+        out = _bandlimit(out)
+    if noise:
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        out = out + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return out.astype(np.complex64)
+
+
+def generate_galileo_e5a_scene(
+    ephs: dict[int, GpsEphemeris],
+    prns: list[int],
+    rx_ecef: np.ndarray,
+    t_start: float,
+    duration_s: float,
+    fs: float,
+    bits_start_tow_s: float,
+    cn0_db_hz: float = 48.0,
+    seed: int = 6,
+    tau_grid_hz: float = 10.0,
+    noise: bool = True,
+    bandlimit: bool = True,
+) -> np.ndarray:
+    """Geometry-accurate Galileo E5a scene: data (I, CS20 + F/NAV 50 sps)
+    + pilot (Q, CS100), QPSK components at equal power (Galileo_E5a.h;
+    galileo_e5a_signal_replica).
+
+    ``bits_start_tow_s`` must be an F/NAV page boundary (multiple of
+    10 s); pages cycle types 1-4 with live GST (TOW field = page-start
+    GST, matching GalileoFnavDecoder's convention). The satellite clock
+    applies (clock - BGD) on both components.
+    """
+    from gnss_sdr_tpu.codes.galileo_e5a import (galileo_e5a_code,
+                                                galileo_e5a_secondary)
+    from gnss_sdr_tpu.telemetry.galileo_fnav import (build_fnav_fields,
+                                                     build_page,
+                                                     encode_page_symbols)
+
+    chip_rate = 10.23e6
+    code_len = 10230
+    carrier = 1176.45e6
+    n = int(round(fs * duration_s))
+    t_rel = np.arange(n) / fs
+    out = None
+    rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
+    amp = 1.0 / np.sqrt(2.0)
+
+    n_pages = int(np.ceil(
+        (t_start + duration_s - bits_start_tow_s) / 10.0)) + 1
+    type_cycle = (1, 2, 3, 4)
+    for prn in prns:
+        eph = ephs[prn]
+        t_grid, taus = _light_time_grid(eph, rx_of, t_start,
+                                        duration_s, tau_grid_hz)
+        tau_t = np.interp(t_start + t_rel, t_grid, taus)
+        dts = eph.clock_bias_s(t_start - float(taus[0])) - eph.tgd_s
+
+        syms = []
+        for i in range(n_pages):
+            pt = type_cycle[i % 4]
+            fields = dict(tow_s=bits_start_tow_s + 10.0 * i,
+                          week_number=eph.week_number, iod_nav=101)
+            if pt == 1:
+                fields.update(svid=prn, toc_s=eph.toc_s, af0=eph.af0,
+                              af1=eph.af1, af2=eph.af2,
+                              bgd_e1e5a_s=eph.tgd_s)
+            elif pt == 2:
+                fields.update(m0_rad=eph.m0_rad,
+                              omega_dot_rad_s=eph.omega_dot_rad_s,
+                              ecc=eph.ecc, sqrt_a=eph.sqrt_a,
+                              omega0_rad=eph.omega0_rad,
+                              idot_rad_s=eph.idot_rad_s)
+            elif pt == 3:
+                fields.update(i0_rad=eph.i0_rad, omega_rad=eph.omega_rad,
+                              delta_n_rad_s=eph.delta_n_rad_s,
+                              cuc_rad=eph.cuc_rad, cus_rad=eph.cus_rad,
+                              crc_m=eph.crc_m, crs_m=eph.crs_m,
+                              toe_s=eph.toe_s)
+            else:
+                fields.update(cic_rad=eph.cic_rad, cis_rad=eph.cis_rad)
+            syms.append(encode_page_symbols(
+                build_page(pt, build_fnav_fields(pt, fields))))
+        syms = np.concatenate(syms)
+
+        cs20 = np.array([1.0 if c == "0" else -1.0
+                         for c in galileo_e5a_secondary(prn, "I")])
+        cs100 = np.array([1.0 if c == "0" else -1.0
+                          for c in galileo_e5a_secondary(prn, "Q")])
+        ci = galileo_e5a_code(prn, "I").astype(np.float64)
+        cq = galileo_e5a_code(prn, "Q").astype(np.float64)
+
+        t_tx = (t_start - bits_start_tow_s) + t_rel - tau_t + dts
+        chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
+        ms_idx = np.floor(t_tx * 1000.0).astype(np.int64)
+        pilot = cq[chip_idx % code_len] * cs100[ms_idx % 100]
+        sym_idx = np.clip(ms_idx // 20, 0, len(syms) - 1)
+        data = ci[chip_idx % code_len] * cs20[ms_idx % 20] * syms[sym_idx]
+
+        phase = -2.0 * np.pi * carrier * tau_t
+        sig = amp * (data + 1j * pilot) * np.exp(1j * phase)
         out = sig if out is None else out + sig
 
     if bandlimit:

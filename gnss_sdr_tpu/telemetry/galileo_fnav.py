@@ -77,6 +77,114 @@ def decode_page_symbols(symbols500: np.ndarray,
     return decoder.decode(soft, terminated=True)
 
 
+# ---------------------------------------------------------------------------
+# Field-level page content (OS SIS ICD 4.2.2; reference parser
+# galileo_fnav_message.cc split_page/decode_page_type_*)
+# ---------------------------------------------------------------------------
+
+PI = np.pi
+
+#: page type -> ordered (name, bits, scale, signed); scale None = raw uint.
+#: Semicircle fields carry scale * PI so stored values are radians.
+_FNAV_LAYOUTS = {
+    1: [("svid", 6, None, False), ("iod_nav", 10, None, False),
+        ("toc_s", 14, 60.0, False), ("af0", 31, 2.0**-34, True),
+        ("af1", 21, 2.0**-46, True), ("af2", 6, 2.0**-59, True),
+        ("sisa", 8, None, False),
+        ("ai0", 11, 2.0**-2, False), ("ai1", 11, 2.0**-8, True),
+        ("ai2", 14, 2.0**-15, True), ("region_flags", 5, None, False),
+        ("bgd_e1e5a_s", 10, 2.0**-32, True), ("e5a_hs", 2, None, False),
+        ("week_number", 12, None, False), ("tow_s", 20, 1.0, False),
+        ("e5a_dvs", 1, None, False), ("_spare", 26, None, False)],
+    2: [("iod_nav", 10, None, False), ("m0_rad", 32, 2.0**-31 * PI, True),
+        ("omega_dot_rad_s", 24, 2.0**-43 * PI, True),
+        ("ecc", 32, 2.0**-33, False), ("sqrt_a", 32, 2.0**-19, False),
+        ("omega0_rad", 32, 2.0**-31 * PI, True),
+        ("idot_rad_s", 14, 2.0**-43 * PI, True),
+        ("week_number", 12, None, False), ("tow_s", 20, 1.0, False)],
+    3: [("iod_nav", 10, None, False), ("i0_rad", 32, 2.0**-31 * PI, True),
+        ("omega_rad", 32, 2.0**-31 * PI, True),
+        ("delta_n_rad_s", 16, 2.0**-43 * PI, True),
+        ("cuc_rad", 16, 2.0**-29, True), ("cus_rad", 16, 2.0**-29, True),
+        ("crc_m", 16, 2.0**-5, True), ("crs_m", 16, 2.0**-5, True),
+        ("toe_s", 14, 60.0, False), ("week_number", 12, None, False),
+        ("tow_s", 20, 1.0, False), ("_spare", 8, None, False)],
+    4: [("iod_nav", 10, None, False), ("cic_rad", 16, 2.0**-29, True),
+        ("cis_rad", 16, 2.0**-29, True), ("a0_s", 32, 2.0**-30, True),
+        ("a1_s_s", 24, 2.0**-50, True), ("delta_t_ls", 8, None, False),
+        ("t0t", 8, None, False), ("wn0t", 8, None, False),
+        ("wn_lsf", 8, None, False), ("dn", 3, None, False),
+        ("delta_t_lsf", 8, None, False), ("t0g", 8, None, False),
+        ("wn0g", 6, None, False), ("a0g_s", 16, 2.0**-35, True),
+        ("a1g_s_s", 12, 2.0**-51, True), ("tow_s", 20, 1.0, False),
+        ("_spare", 5, None, False)],
+}
+
+
+def build_fnav_fields(page_type: int, fields: dict) -> np.ndarray:
+    """Encode field dict -> 208-bit page body (simulation side)."""
+    layout = _FNAV_LAYOUTS[page_type]
+    b = np.zeros(208, dtype=np.int64)
+    pos = 0
+    for name, nbits, scale, signed in layout:
+        v = fields.get(name, 0)
+        iv = int(round(v / scale)) if scale is not None else int(v)
+        if signed and iv < 0:
+            iv += 1 << nbits
+        assert 0 <= iv < (1 << nbits), (name, v)
+        for i in range(nbits):
+            b[pos + i] = (iv >> (nbits - 1 - i)) & 1
+        pos += nbits
+    assert pos == 208, pos
+    return b
+
+
+def parse_fnav_fields(page_type: int, data208: np.ndarray) -> dict | None:
+    """Decode a 208-bit page body into scaled fields (pages 1-4)."""
+    layout = _FNAV_LAYOUTS.get(page_type)
+    if layout is None:
+        return None
+    b = np.asarray(data208, dtype=np.int64)
+    out: dict = {"page_type": page_type}
+    pos = 0
+    for name, nbits, scale, signed in layout:
+        iv = 0
+        for bit in b[pos:pos + nbits]:
+            iv = (iv << 1) | int(bit)
+        if signed and b[pos] == 1:
+            iv -= 1 << nbits
+        pos += nbits
+        if name == "_spare":
+            continue
+        out[name] = iv * scale if scale is not None else iv
+    return out
+
+
+def fnav_ephemeris_fields(pages: dict[int, dict]) -> dict:
+    """Merge parsed pages {type: fields} into the shared Kepler container
+    (galileo_fnav_message.cc have_new_ephemeris role). BGD(E1,E5a) fills
+    the tgd_s slot for the E5a observable."""
+    out: dict = {}
+    p1, p2, p3, p4 = (pages.get(t) for t in (1, 2, 3, 4))
+    if p1:
+        out.update(toc_s=p1["toc_s"], af0=p1["af0"], af1=p1["af1"],
+                   af2=p1["af2"], tgd_s=p1["bgd_e1e5a_s"],
+                   week_number=p1["week_number"])
+    if p2:
+        out.update(m0_rad=p2["m0_rad"],
+                   omega_dot_rad_s=p2["omega_dot_rad_s"], ecc=p2["ecc"],
+                   sqrt_a=p2["sqrt_a"], omega0_rad=p2["omega0_rad"],
+                   idot_rad_s=p2["idot_rad_s"])
+    if p3:
+        out.update(i0_rad=p3["i0_rad"], omega_rad=p3["omega_rad"],
+                   delta_n_rad_s=p3["delta_n_rad_s"],
+                   cuc_rad=p3["cuc_rad"], cus_rad=p3["cus_rad"],
+                   crc_m=p3["crc_m"], crs_m=p3["crs_m"], toe_s=p3["toe_s"])
+    if p4:
+        out.update(cic_rad=p4["cic_rad"], cis_rad=p4["cis_rad"])
+    return out
+
+
 @dataclasses.dataclass
 class FnavPage:
     page_type: int
@@ -85,7 +193,18 @@ class FnavPage:
 
 
 class GalileoFnavDecoder:
-    """Streaming F/NAV decoder (one soft symbol per E5a-I symbol, 4 ms)."""
+    """Streaming F/NAV decoder (one soft symbol per E5a-I data symbol,
+    20 ms / 50 sps; 500-symbol 10 s pages).
+
+    TOW convention: the page's TOW field stamps GST at the page START, so
+    a decoded page anchors ``tow_at_last_symbol_ms = (TOW + 10) * 1e3``
+    at its final symbol; between decodes TOW advances one symbol period
+    per feed (galileo_telemetry_decoder_gs.cc F/NAV TOW propagation
+    role).
+    """
+
+    SYMBOL_MS = 20.0
+    PAGE_S = 10.0
 
     def __init__(self):
         self.viterbi = ViterbiDecoder(kk=7, nn=2, g=(121, 91))
@@ -95,14 +214,25 @@ class GalileoFnavDecoder:
         self.inverted = False
         self.page_start = 0
         self.pages: list[FnavPage] = []
+        self.pages_by_type: dict[int, dict] = {}
+        self.tow_at_last_symbol_ms: float | None = None
 
     def feed(self, symbol: float, sample_stamp: int) -> FnavPage | None:
         self.history.append(float(symbol))
         self.stamps.append(int(sample_stamp))
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += self.SYMBOL_MS
         if not self.synced:
             self._search()
             return None
         return self._decode()
+
+    @property
+    def ephemeris_fields(self) -> dict:
+        return fnav_ephemeris_fields(self.pages_by_type)
+
+    def has_full_ephemeris(self) -> bool:
+        return {1, 2, 3} <= set(self.pages_by_type)
 
     def _search(self) -> None:
         n = len(PREAMBLE)
@@ -145,4 +275,11 @@ class GalileoFnavDecoder:
             return None
         page = FnavPage(fields["page_type"], fields["data"], stamp)
         self.pages.append(page)
+        parsed = parse_fnav_fields(page.page_type, page.data)
+        if parsed is not None:
+            self.pages_by_type[page.page_type] = parsed
+            if "tow_s" in parsed:
+                # the page's last symbol ends PAGE_S after the stamped TOW
+                self.tow_at_last_symbol_ms = (
+                    parsed["tow_s"] + self.PAGE_S) * 1e3
         return page

@@ -59,6 +59,10 @@ class _Nh20Sync:
     def feed(self, prompt_i: float, period_idx: int) -> bool:
         self.history.append(1.0 if prompt_i >= 0 else -1.0)
         need = (self.frames + 1) * self.k
+        # sliding window: score only the most recent frames, so pre-lock
+        # transients (FLL pull-in) age out instead of poisoning the search
+        if len(self.history) > need:
+            del self.history[:len(self.history) - need]
         if self.synced or len(self.history) < need:
             return False
         base = period_idx + 1 - len(self.history)  # abs idx of history[0]
@@ -166,6 +170,145 @@ class GlonassGnavPeriodDecoder:
         return self.dec.has_full_ephemeris()
 
     # GPS-decoder interface parity (no broadcast iono in GNAV strings 1-4)
+    utc_iono_fields: dict = {}
+
+
+class GpsL5PeriodDecoder:
+    """L5 over 1 ms data prompts: NH10 sync + wipe-off + 10x accumulation
+    + streaming CNAV (the gps_l5_telemetry_decoder_gs role,
+    /root/reference/src/algorithms/telemetry_decoder/gnuradio_blocks/
+    gps_l5_telemetry_decoder_gs.cc:150-260).
+
+    The tracking engine tracks the L5Q pilot; the fed value is the
+    data-component prompt (``PeriodOutput.data_prompt``) on whichever
+    axis the pilot-locked PLL leaves it (the reference's interchange_iq
+    role) — NH/CNAV polarity searches absorb the sign.
+
+    Time aiding: CNAV needs a full 6 s message + Viterbi history before
+    its first TOW (~13 s of stream). Data-symbol boundaries sit on the
+    10 ms SV-time grid, so an exact same-SV TOW from another band
+    (:attr:`time_aid` = ``(t_rx_s, tow_ms)``, e.g. GPS L1 LNAV) resolves
+    the absolute symbol TOW immediately — the receiver's cross-band time
+    transfer (same-SV L1/L5 transmit clocks are synchronized to well
+    under the 5 ms guard band).
+    """
+
+    PERIODS_PER_SYMBOL = 10
+
+    def __init__(self, fs: float | None = None):
+        from gnss_sdr_tpu.codes.gps_l5 import NH10
+        from gnss_sdr_tpu.telemetry.gps_cnav import GpsCnavDecoder
+
+        self.dec = GpsCnavDecoder(symbol_ms=10.0)
+        self._signs = [1.0 if c == "0" else -1.0 for c in NH10]
+        self._nh = _Nh20Sync(self._signs, frames=6)
+        self._period_idx = 0
+        self._acc = 0.0
+        self._acc_n = 0
+        self.fs = fs
+        #: same-SV cross-band aid ``(t_rx_s, tow_ms)`` (receiver-time of a
+        #: symbol end on the aiding band, and its exact TOW)
+        self.time_aid: tuple[float, float] | None = None
+        self.tow_at_last_symbol_ms: float | None = None
+
+    def feed(self, prompt: float, sample_stamp: int):
+        idx = self._period_idx
+        self._period_idx += 1
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += 1.0
+        if not self._nh.synced:
+            self._nh.feed(prompt, idx)
+            return None
+        into = self._nh.periods_into_code(idx)
+        if into == 0:
+            self._acc = 0.0
+            self._acc_n = 0
+        self._acc += float(prompt) * self._signs[into]
+        self._acc_n += 1
+        if into != self.PERIODS_PER_SYMBOL - 1 \
+                or self._acc_n != self.PERIODS_PER_SYMBOL:
+            return None
+        update = self.dec.feed(self._acc, sample_stamp)
+        if self.dec.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms = self.dec.tow_at_last_symbol_ms
+        elif self.time_aid is not None and self.fs:
+            t_aid, tow_aid = self.time_aid
+            pred = tow_aid + (sample_stamp / self.fs - t_aid) * 1e3
+            self.tow_at_last_symbol_ms = round(pred / 10.0) * 10.0
+        return update
+
+    @property
+    def ephemeris_fields(self) -> dict:
+        return self.dec.ephemeris_fields
+
+    def has_full_ephemeris(self) -> bool:
+        return self.dec.has_full_ephemeris()
+
+    utc_iono_fields: dict = {}
+
+
+class GalileoE5aPeriodDecoder:
+    """E5a over 1 ms data prompts: per-PRN CS20 secondary sync + wipe-off
+    + 20x accumulation + streaming F/NAV (galileo_telemetry_decoder_gs.cc
+    d_band=='5' branches).
+
+    Mirrors :class:`GpsL5PeriodDecoder`: pilot (E5a-Q) drives the loops,
+    the fed value is the data-component prompt; cross-band same-SV time
+    aiding (Galileo E1 I/NAV TOW) snaps the 20 ms symbol grid before the
+    first autonomous F/NAV page (10 s pages) lands.
+    """
+
+    PERIODS_PER_SYMBOL = 20
+
+    def __init__(self, prn: int, fs: float | None = None):
+        from gnss_sdr_tpu.codes.galileo_e5a import galileo_e5a_secondary
+        from gnss_sdr_tpu.telemetry.galileo_fnav import GalileoFnavDecoder
+
+        self.prn = prn
+        sec = galileo_e5a_secondary(prn, "I")
+        self._signs = [1.0 if c == "0" else -1.0 for c in sec]
+        self._nh = _Nh20Sync(self._signs, frames=4)
+        self.dec = GalileoFnavDecoder()
+        self._period_idx = 0
+        self._acc = 0.0
+        self._acc_n = 0
+        self.fs = fs
+        self.time_aid: tuple[float, float] | None = None
+        self.tow_at_last_symbol_ms: float | None = None
+
+    def feed(self, prompt: float, sample_stamp: int):
+        idx = self._period_idx
+        self._period_idx += 1
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += 1.0
+        if not self._nh.synced:
+            self._nh.feed(prompt, idx)
+            return None
+        into = self._nh.periods_into_code(idx)
+        if into == 0:
+            self._acc = 0.0
+            self._acc_n = 0
+        self._acc += float(prompt) * self._signs[into]
+        self._acc_n += 1
+        if into != self.PERIODS_PER_SYMBOL - 1 \
+                or self._acc_n != self.PERIODS_PER_SYMBOL:
+            return None
+        update = self.dec.feed(self._acc, sample_stamp)
+        if self.dec.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms = self.dec.tow_at_last_symbol_ms
+        elif self.time_aid is not None and self.fs:
+            t_aid, tow_aid = self.time_aid
+            pred = tow_aid + (sample_stamp / self.fs - t_aid) * 1e3
+            self.tow_at_last_symbol_ms = round(pred / 20.0) * 20.0
+        return update
+
+    @property
+    def ephemeris_fields(self) -> dict:
+        return self.dec.ephemeris_fields
+
+    def has_full_ephemeris(self) -> bool:
+        return self.dec.has_full_ephemeris()
+
     utc_iono_fields: dict = {}
 
 

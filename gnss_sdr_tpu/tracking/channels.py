@@ -29,6 +29,8 @@ class PeriodOutput:
     length: int
     rem_code_phase_samples: float
     prompt: complex
+    data_prompt: complex         # data-component prompt (== prompt unless
+    #                              cfg.track_pilot; dll_pll d_correlator_data)
     corr: np.ndarray             # all taps [T]
     carrier_doppler_hz: float
     code_freq_chips: float
@@ -55,6 +57,12 @@ class TrackingChannels:
             (n_channels, cfg.code_length_chips * cfg.code_samples_per_chip),
             dtype=np.float32)
         self._code_tables_dev = jnp.asarray(self._code_tables)
+        if cfg.track_pilot:
+            self._data_code_tables = np.zeros_like(self._code_tables)
+            self._data_code_tables_dev = jnp.asarray(self._data_code_tables)
+        else:
+            self._data_code_tables = None
+            self._data_code_tables_dev = None
         self.prn = [0] * n_channels
         self.acc_carrier_phase_rad = np.zeros(n_channels, dtype=np.float64)
 
@@ -63,6 +71,7 @@ class TrackingChannels:
         self, ch: int, prn: int, code_table: np.ndarray,
         acq_delay_samples: float, acq_doppler_hz: float,
         acq_samplestamp: int, if_freq_hz: float = 0.0,
+        data_code_table: np.ndarray | None = None,
     ) -> None:
         """Assign a satellite to channel ``ch`` after positive acquisition.
 
@@ -81,6 +90,11 @@ class TrackingChannels:
         offset = int(round(acq_code_phase))
         self._code_tables[ch] = code_table.astype(np.float32)
         self._code_tables_dev = jnp.asarray(self._code_tables)
+        if self.cfg.track_pilot:
+            if data_code_table is None:
+                raise ValueError("track_pilot channels need data_code_table")
+            self._data_code_tables[ch] = data_code_table.astype(np.float32)
+            self._data_code_tables_dev = jnp.asarray(self._data_code_tables)
         self.state = self.engine.start_channel(
             self.state, ch, acq_doppler_hz, offset,
             int(round(t_prn_samples)), if_freq_hz=if_freq_hz,
@@ -116,7 +130,8 @@ class TrackingChannels:
         block_im = jnp.asarray(
             np.ascontiguousarray(block.imag, dtype=np.float32))
         self.state, out = self.engine.process_block(
-            self.state, block_re, block_im, self._code_tables_dev)
+            self.state, block_re, block_im, self._code_tables_dev,
+            self._data_code_tables_dev)
         self.abs_block_start += self.block_samples
 
         out = {k: np.asarray(v) for k, v in out.items()}
@@ -136,6 +151,8 @@ class TrackingChannels:
                         out["rem_code_phase_samples"][step, ch]),
                     prompt=complex(out["prompt_re"][step, ch],
                                    out["prompt_im"][step, ch]),
+                    data_prompt=complex(out["data_prompt_re"][step, ch],
+                                        out["data_prompt_im"][step, ch]),
                     corr=(out["corr_re"][step, ch]
                           + 1j * out["corr_im"][step, ch]),
                     carrier_doppler_hz=float(

@@ -79,6 +79,11 @@ class TrackingConfig:
     y_intercept: float = 1.0
     carrier_aiding: bool = True
     extend_correlation_symbols: int = 1
+    # dual-component (pilot + data) signals: loops close on the pilot code
+    # (the main code_tables); an extra prompt correlator runs against the
+    # data component's code (the reference's d_correlator_data /
+    # track_pilot path, dll_pll_veml_tracking.cc:211-246 and :1064-1090)
+    track_pilot: bool = False
     pll_bw_narrow_hz: float = 5.0
     dll_bw_narrow_hz: float = 0.75
     # lock detection
@@ -384,7 +389,11 @@ class TrackingEngine:
         pull_in_steps = self._pull_in_steps
         tiny = jnp.finfo(jnp.float32).tiny
 
-        def scan_body(carry, _, block_re, block_im, code_tables):
+        track_pilot = cfg.track_pilot
+        zero_shift = jnp.zeros((1,), dtype=jnp.float32)
+
+        def scan_body(carry, _, block_re, block_im, code_tables,
+                      data_code_tables=None):
             s: TrackState = carry
             process = s.active & (s.offset < block_samples) & (~s.loss_of_lock)
 
@@ -403,6 +412,20 @@ class TrackingEngine:
             )  # [C, T] each
             p_re = corr_re[:, prompt_tap]
             p_im = corr_im[:, prompt_tap]
+            if track_pilot:
+                # data-component prompt (d_correlator_data_cpu role): same
+                # carrier/code NCO trajectory, the data PRN code, one tap
+                dp_re, dp_im = multicorrelate(
+                    x_re, x_im, data_code_tables, zero_shift,
+                    s.rem_code_phase_chips, s.code_phase_step_chips,
+                    s.rem_carr_phase_rad, s.carrier_phase_step_rad,
+                    s.cur_len,
+                )
+                data_p_re = dp_re[:, 0]
+                data_p_im = dp_im[:, 0]
+            else:
+                data_p_re = p_re
+                data_p_im = p_im
 
             # ---- extended coherent integration (states 3/4,
             #      dll_pll_veml_tracking.cc:1989-2028) ---------------------
@@ -574,9 +597,17 @@ class TrackingEngine:
                 + (prompt_buf_im / d[:, None]) ** 2, axis=1))
             evm = jnp.where(have_cn0, evm_raw, s.evm)
 
+            # Stream advance pairs with the freshly computed length, exactly
+            # like the reference (consume_each(d_current_prn_length_samples)
+            # AFTER update_tracking_vars, dll_pll_veml_tracking.cc:2119):
+            # offset + next_len and rem_next derive from the same K_blk, so
+            # the code boundary (offset + rem) advances by exactly T_prn per
+            # period. Advancing by the stale cur_len instead slips the
+            # boundary (and the pseudorange anchor) by +-1 sample for one
+            # period at every rem wraparound.
             new = TrackState(
                 active=s.active,
-                offset=s.offset + s.cur_len,
+                offset=s.offset + next_len,
                 cur_len=next_len,
                 rem_code_phase_samples=rem_code_samples,
                 rem_code_phase_chips=rem_code_chips,
@@ -620,6 +651,8 @@ class TrackingEngine:
                 corr_im=corr_im,
                 prompt_re=p_re,
                 prompt_im=p_im,
+                data_prompt_re=data_p_re,
+                data_prompt_im=data_p_im,
                 carrier_doppler_hz=jnp.where(process, carrier_doppler,
                                              s.carrier_doppler_hz),
                 code_freq_chips=chip_rate + jnp.where(process, code_dop,
@@ -634,10 +667,11 @@ class TrackingEngine:
             )
             return merged, outputs
 
-        def block_step(state: TrackState, block_re, block_im, code_tables):
+        def _run(state: TrackState, block_re, block_im, code_tables,
+                 data_code_tables):
             body = functools.partial(
                 scan_body, block_re=block_re, block_im=block_im,
-                code_tables=code_tables)
+                code_tables=code_tables, data_code_tables=data_code_tables)
             state, outputs = jax.lax.scan(
                 lambda c, xs: body(c, xs), state, None, length=n_steps)
             # rebase offsets for the next block (stream advances by
@@ -647,30 +681,52 @@ class TrackingEngine:
                                  state.offset - block_samples, state.offset))
             return state, outputs
 
-        def superblock_step(state: TrackState, blocks_re, blocks_im,
-                            code_tables):
-            """K consecutive blocks in one program: outer scan over
-            blocks, inner scan over PRN periods. blocks_* have shape
-            [K, block_samples + overlap]."""
+        if track_pilot:
+            def block_step(state, block_re, block_im, code_tables,
+                           data_code_tables):
+                return _run(state, block_re, block_im, code_tables,
+                            data_code_tables)
 
-            def outer(carry, blk):
-                return block_step(carry, blk[0], blk[1], code_tables)
+            def superblock_step(state, blocks_re, blocks_im, code_tables,
+                                data_code_tables):
+                def outer(carry, blk):
+                    return block_step(carry, blk[0], blk[1], code_tables,
+                                      data_code_tables)
 
-            return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+                return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+        else:
+            def block_step(state, block_re, block_im, code_tables):
+                return _run(state, block_re, block_im, code_tables, None)
+
+            def superblock_step(state, blocks_re, blocks_im, code_tables):
+                """K consecutive blocks in one program: outer scan over
+                blocks, inner scan over PRN periods. blocks_* have shape
+                [K, block_samples + overlap]."""
+
+                def outer(carry, blk):
+                    return block_step(carry, blk[0], blk[1], code_tables)
+
+                return jax.lax.scan(outer, state, (blocks_re, blocks_im))
 
         return block_step, superblock_step
 
     def process_block(
         self, state: TrackState, block_re: jax.Array, block_im: jax.Array,
-        code_tables: jax.Array,
+        code_tables: jax.Array, data_code_tables: jax.Array | None = None,
     ):
         """Run one block; returns (new_state, outputs dict of [S, C] arrays).
 
         ``block_re``/``block_im`` are the planar complex IF samples,
-        ``block_samples + overlap`` long."""
+        ``block_samples + overlap`` long. With ``cfg.track_pilot``,
+        ``data_code_tables`` carries the data-component codes."""
         if block_re.shape[0] != self.block_samples + self.overlap:
             raise ValueError(
                 f"block must have {self.block_samples + self.overlap} samples "
                 f"(block_samples + overlap), got {block_re.shape[0]}"
             )
+        if self.cfg.track_pilot:
+            if data_code_tables is None:
+                raise ValueError("track_pilot needs data_code_tables")
+            return self._block_step(state, block_re, block_im, code_tables,
+                                    data_code_tables)
         return self._block_step(state, block_re, block_im, code_tables)
