@@ -70,6 +70,10 @@ class ObservablesEngine:
         self.smoothing_factor = smoothing_factor
         self._smooth: list[tuple[float, float, int] | None] = [
             None] * n_channels  # (smoothed_pr, phase_rad, count)
+        # per-channel carrier wavelength for the phase->range conversion
+        # (GLONASS FDMA slots and L5/E5a differ from L1 by percents —
+        # enough to drift a Hatch filter by meters per smoothing window)
+        self._wavelength = [L1_WAVELENGTH_M] * n_channels
         self._anchors: list[collections.deque[_Anchor]] = [
             collections.deque(maxlen=history) for _ in range(n_channels)]
         self._next_epoch_sample = 0.0
@@ -81,6 +85,11 @@ class ObservablesEngine:
         self._anchors[ch].clear()
         self._smooth[ch] = None
 
+    def set_channel_carrier(self, ch: int, carrier_hz: float) -> None:
+        """Set the channel's carrier (satellite assignment time) so the
+        Hatch filter converts phase with the right wavelength."""
+        self._wavelength[ch] = 299_792_458.0 / float(carrier_hz)
+
     def _smooth_pr(self, ch: int, pr: float, phase_rad: float) -> float:
         """Hatch filter: blend the code pseudorange with the carrier-phase
         range increment (range change = lambda/2pi * delta acc_phase, with
@@ -91,7 +100,7 @@ class ObservablesEngine:
             return pr
         pr_prev, phase_prev, count = prev
         pred = pr_prev + (phase_rad - phase_prev) * (
-            L1_WAVELENGTH_M / (2.0 * math.pi))
+            self._wavelength[ch] / (2.0 * math.pi))
         alpha = 1.0 / min(count + 1, self.smoothing_factor)
         pr_s = alpha * pr + (1.0 - alpha) * pred
         self._smooth[ch] = (pr_s, phase_rad, count + 1)

@@ -36,6 +36,28 @@ def distributed_init(coordinator: str | None = None,
     jax.distributed.initialize(**kwargs)
 
 
+def init_cpu_multiprocess(coordinator: str, num_processes: int,
+                          process_id: int,
+                          devices_per_process: int = 2) -> None:
+    """Multi-process CPU bring-up — the local test shape of a TPU-pod
+    ``jax.distributed.initialize()``.
+
+    Order matters: platform/device-count/collectives go through
+    jax.config BEFORE the backend initializes (the ambient environment
+    pins JAX_PLATFORMS=axon, and the env-var route does not reach the
+    CPU client's device-count either), and cross-process CPU collectives
+    need the gloo implementation. After this returns,
+    ``jax.devices()`` spans all processes and psum/ppermute ride the
+    distributed runtime exactly like ICI collectives on a pod.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", devices_per_process)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def halo_exchange_blocks(mesh: Mesh, shards: jax.Array, halo: int,
                          axis: str = "ch") -> jax.Array:
     """Append each shard's successor's first ``halo`` samples.

@@ -14,6 +14,7 @@ import dataclasses
 import math
 
 import numpy as np
+from scipy import special as sp_special
 
 from gnss_sdr_tpu.constants.general import OMEGA_EARTH_DOT, SPEED_OF_LIGHT_M_S
 from gnss_sdr_tpu.pvt import atmosphere, geodesy
@@ -71,6 +72,12 @@ def _geodist(sat_pos: np.ndarray, rx_pos: np.ndarray) -> tuple[float, np.ndarray
     return r + sagnac, los
 
 
+#: max acceptable GDOP (rtklib valsol max_gdop, rtklib_pntpos.cc)
+MAX_GDOP = 30.0
+#: a-priori pseudorange sigma for the chi-square residual test [m]
+SIGMA_PR_M = 3.0
+
+
 def solve_pvt(
     obs: list[Observation],
     t_rx_tow_s: float,
@@ -80,6 +87,8 @@ def solve_pvt(
     apply_tropo: bool = True,
     max_iter: int = 10,
     elevation_mask_rad: float = 0.0,
+    validate: bool = True,
+    corrections: dict | None = None,
 ) -> PvtSolution:
     """Iterative LS position + clock from pseudoranges at RX TOW [s]."""
     n = len(obs)
@@ -118,6 +127,18 @@ def solve_pvt(
             # L1 TGD applies (GLONASS state-vector eph has no TGD field)
             dts = o.eph.clock_bias_s(t_tx) - getattr(o.eph, "tgd_s", 0.0)
             pos = np.array(o.eph.sat_pos(t_tx))
+            if corrections is not None:
+                # HAS/SSR precise corrections on top of the broadcast
+                # ephemeris (has_corrections.py; the reference's
+                # rtklib_ppp/sbas satpos-with-corrections role)
+                corr = corrections.get((o.system, o.prn))
+                if corr is not None:
+                    from gnss_sdr_tpu.pvt.has_corrections import (
+                        apply_correction)
+
+                    vel = np.array(o.eph.sat_vel(t_tx))
+                    pos, dclk_s = apply_correction(pos, vel, corr)
+                    dts += dclk_s
             sat_pos[i] = pos
             sat_clk[i] = dts
 
@@ -149,6 +170,19 @@ def solve_pvt(
     except np.linalg.LinAlgError:
         return invalid
     gdop = math.sqrt(max(np.trace(q), 0.0))
+    # solution validation (rtklib valsol, rtklib_pntpos.cc): chi-square
+    # test on the sigma-normalized post-fit residuals plus a GDOP bound.
+    # A single biased pseudorange (e.g. a one-sample anchor slip) passes
+    # the LS fit but fails here and the epoch is flagged invalid.
+    is_valid = True
+    if validate:
+        dof = n - nx
+        if dof > 0:
+            vv = float(np.sum((resid / SIGMA_PR_M) ** 2))
+            # chi2 0.999 quantile (rtklib chisqr table role)
+            is_valid = vv <= float(sp_special.chdtri(dof, 1e-3))
+        if gdop <= 0.0 or gdop > MAX_GDOP:
+            is_valid = False
     pdop = math.sqrt(max(q[0, 0] + q[1, 1] + q[2, 2], 0.0))
     lat, lon, hgt = geodesy.ecef_to_geodetic(x[:3])
     e_mat = geodesy.enu_matrix(lat, lon)
@@ -191,7 +225,7 @@ def solve_pvt(
         drift = sol[3] / C
 
     return PvtSolution(
-        valid=True, pos_ecef=x[:3].copy(), clock_bias_s=x[3] / C,
+        valid=is_valid, pos_ecef=x[:3].copy(), clock_bias_s=x[3] / C,
         vel_ecef=vel, clock_drift_s_s=drift,
         gdop=gdop, pdop=pdop, hdop=hdop, vdop=vdop, n_sats=n,
         residuals_m=resid.copy(), lat_rad=lat, lon_rad=lon, height_m=hgt,

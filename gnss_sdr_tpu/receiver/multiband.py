@@ -252,10 +252,15 @@ class _Band:
 
             self.system = "C"
             self.period_ms = 1.0
+            # B1I's NH20 secondary flips sign at code boundaries (one NH
+            # chip per 1 ms period): like L5/E5a, plain dwells with a
+            # mid-buffer peak lose most of their energy and smear across
+            # Doppler bins; bit-transition straddling is transition-proof
             self.acq = make_acquisition(
                 "BEIDOU_B1I_PCPS_Acquisition", sorted(cfg.satellites), fs,
                 doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
-                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells)
+                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
+                bit_transition_flag=True)
             trk = TrackingConfig(
                 fs=fs, code_length_chips=2046, chip_rate_cps=2.046e6,
                 carrier_hz=1561.098e6, symbols_per_bit=20,
@@ -450,6 +455,8 @@ class MultiBandReceiver:
                                      if band.data_code_table else None))
                 band.decoders[local_ch] = band.make_decoder(prn)
                 self.observables.reset_channel(fsm.channel_id)
+                self.observables.set_channel_carrier(
+                    fsm.channel_id, band.carrier_hz(prn))
                 self._chan_sat[fsm.channel_id] = (band.system, prn)
             elif band.sat_pool:
                 # rotate the pool on a negative search (flowgraph

@@ -156,6 +156,19 @@ class Receiver:
         new_solutions.extend(self._run_observables_and_pvt())
         return new_solutions
 
+    def process_superblock(self, seg: np.ndarray,
+                           n_blocks: int) -> list[PvtSolution]:
+        """Process ``n_blocks`` blocks in one tracking device call.
+
+        Control decisions (acquisition manager, FSM transitions, extended
+        mode) run once per superblock instead of per 20 ms block — the
+        latency/throughput trade a real-time deployment makes when device
+        dispatch round-trips are expensive."""
+        self._manage_acquisition(seg)
+        per_channel = self.tracking.process_superblock(seg, n_blocks)
+        self._feed_decoders(per_channel)
+        return self._run_observables_and_pvt()
+
     # -- receiver management (gnss_flowgraph.cc:1986-2005 standby,
     #    control_thread.cc apply_action cold/warm/hot start,
     #    tcp_cmd_interface.cc verb semantics) --------------------------------

@@ -14,9 +14,10 @@ from gnss_sdr_tpu.telemetry.gps_lnav import (
 from gnss_sdr_tpu.telemetry.reed_solomon import ReedSolomon
 from gnss_sdr_tpu.telemetry.galileo_cnav import GalileoCnavDecoder, HasPage
 from gnss_sdr_tpu.telemetry.galileo_has import HasData, HasMessageReceiver
+from gnss_sdr_tpu.telemetry.tlm_crc_stats import TlmCrcStats
 
 __all__ = [
     "GpsLnavDecoder", "check_word", "encode_word", "parse_subframe",
     "ReedSolomon", "GalileoCnavDecoder", "HasPage", "HasData",
-    "HasMessageReceiver",
+    "HasMessageReceiver", "TlmCrcStats",
 ]

@@ -36,10 +36,18 @@ _SCALES = {
     "CRC": 2.0**-6, "CRS": 2.0**-6, "CIC": 2.0**-31, "CIS": 2.0**-31,
     "I0": 2.0**-31 * PI, "OMEGA_0": 2.0**-31 * PI, "OMEGA": 2.0**-31 * PI,
     "OMEGA_DOT": 2.0**-43 * PI, "IDOT": 2.0**-43 * PI,
+    # almanac page scales (Beidou_DNAV.h:65-74)
+    "SQRT_A_ALM": 2.0**-11, "A1_ALM": 2.0**-38, "A0_ALM": 2.0**-20,
+    "OMEGA0_ALM": 2.0**-23 * PI, "E_ALM": 2.0**-21,
+    "DELTA_I_ALM": 2.0**-19 * PI, "TOA_ALM": 2.0**12,
+    "OMEGA_DOT_ALM": 2.0**-38 * PI, "OMEGA_ALM": 2.0**-23 * PI,
+    "M0_ALM": 2.0**-23 * PI,
 }
 _SIGNED = {"TGD1", "A0", "A1", "A2", "DELTA_N", "CUC", "CUS", "M0",
            "CRC", "CRS", "CIC", "CIS", "I0", "OMEGA_0", "OMEGA",
-           "OMEGA_DOT", "IDOT"}
+           "OMEGA_DOT", "IDOT",
+           "A1_ALM", "A0_ALM", "OMEGA0_ALM", "DELTA_I_ALM",
+           "OMEGA_DOT_ALM", "OMEGA_ALM", "M0_ALM"}
 
 
 # -- BCH(15,11) ------------------------------------------------------------
@@ -159,6 +167,15 @@ SF_FIELDS = {
         "TOE_SF2"),
     3: ("SOW", "TOE_SF3", "I0", "CIC", "OMEGA_DOT", "CIS", "IDOT",
         "OMEGA_0", "OMEGA"),
+    # subframes 4 and 5 share the almanac page layout; the page number
+    # (PNUM 1-24) selects the almanac satellite (beidou_dnav_
+    # navigation_message.cc d_SOW_SF4/SF5 + almanac branches)
+    4: ("SOW", "PNUM", "SQRT_A_ALM", "A1_ALM", "A0_ALM", "OMEGA0_ALM",
+        "E_ALM", "DELTA_I_ALM", "TOA_ALM", "OMEGA_DOT_ALM", "OMEGA_ALM",
+        "M0_ALM"),
+    5: ("SOW", "PNUM", "SQRT_A_ALM", "A1_ALM", "A0_ALM", "OMEGA0_ALM",
+        "E_ALM", "DELTA_I_ALM", "TOA_ALM", "OMEGA_DOT_ALM", "OMEGA_ALM",
+        "M0_ALM"),
 }
 
 
@@ -261,7 +278,8 @@ class D1SubframeUpdate:
 class BeidouD1Decoder:
     """Streaming D1 decoder over 20 ms data symbols (post NH wipe-off)."""
 
-    def __init__(self):
+    def __init__(self, crc_stats=None):
+        self.crc_stats = crc_stats   # optional TlmCrcStats (BCH outcomes)
         self.history: list[float] = []
         self.stamps: list[int] = []
         self.synced = False
@@ -269,6 +287,7 @@ class BeidouD1Decoder:
         self.frame_start = 0
         self.subframes: dict[int, dict] = {}
         self.updates: list[D1SubframeUpdate] = []
+        self.almanacs: dict[int, dict] = {}  # SV -> SF4/5 almanac page
         self.tow_at_last_symbol_ms: float | None = None
 
     def feed(self, symbol: float, sample_stamp: int) -> D1SubframeUpdate | None:
@@ -306,6 +325,8 @@ class BeidouD1Decoder:
         self.frame_start += SUBFRAME_BITS
         hard = (sym > 0).astype(np.int64)
         bits, ok = symbols_to_subframe(hard)
+        if self.crc_stats is not None:
+            self.crc_stats.update(bool(ok))
         fields = parse_subframe(bits) if ok else None
         if fields is None or fields["fra_id"] not in (1, 2, 3, 4, 5):
             self.synced = False
@@ -323,6 +344,13 @@ class BeidouD1Decoder:
         self.updates.append(update)
         if fields["fra_id"] in (1, 2, 3):
             self.subframes[fields["fra_id"]] = fields
+        elif fields["fra_id"] in (4, 5) and fields.get("pnum"):
+            # almanac pages: SF4 pages 1-24 -> SVs 1-24, SF5 pages 1-6 ->
+            # SVs 25-30 (beidou_dnav_navigation_message.cc SF4/SF5)
+            pnum = int(fields["pnum"])
+            sv = pnum if fields["fra_id"] == 4 else 24 + pnum
+            if 1 <= sv <= 30:
+                self.almanacs[sv] = fields
         # SOW stamps the start of the CURRENT subframe (BDS ICD); its last
         # symbol ends 6 s later
         self.tow_at_last_symbol_ms = fields["sow"] * 1000.0 + 6000.0

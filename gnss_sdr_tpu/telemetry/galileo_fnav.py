@@ -206,7 +206,8 @@ class GalileoFnavDecoder:
     SYMBOL_MS = 20.0
     PAGE_S = 10.0
 
-    def __init__(self):
+    def __init__(self, crc_stats=None):
+        self.crc_stats = crc_stats   # optional TlmCrcStats (page CRC)
         self.viterbi = ViterbiDecoder(kk=7, nn=2, g=(121, 91))
         self.history: list[float] = []
         self.stamps: list[int] = []
@@ -266,6 +267,8 @@ class GalileoFnavDecoder:
             return None
         bits = decode_page_symbols(sym, self.viterbi)
         ok, fields = check_page(bits)
+        if self.crc_stats is not None:
+            self.crc_stats.update(bool(ok))
         if self.page_start > PAGE_SYMBOLS:
             drop = self.page_start - 1
             del self.history[:drop]

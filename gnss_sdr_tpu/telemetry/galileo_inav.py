@@ -447,7 +447,8 @@ class InavWordUpdate:
 class GalileoInavDecoder:
     """Per-channel streaming I/NAV decoder (E1-B, one symbol per 4 ms)."""
 
-    def __init__(self):
+    def __init__(self, crc_stats=None):
+        self.crc_stats = crc_stats   # optional TlmCrcStats (CRC-24Q outcomes)
         self.viterbi = ViterbiDecoder(kk=7, nn=2, g=(121, 91))
         self.history: list[float] = []
         self.stamps: list[int] = []
@@ -511,6 +512,8 @@ class GalileoInavDecoder:
         elif self.even_bits is not None:
             ok, data = check_page_pair(self.even_bits, bits)
             self.even_bits = None
+            if self.crc_stats is not None:
+                self.crc_stats.update(bool(ok))
             if ok:
                 fields = parse_inav_word(data)
                 update = InavWordUpdate(fields["word_type"], fields, stamp)

@@ -126,6 +126,33 @@ def parse_string(bits85: np.ndarray) -> dict | None:
     elif sid == 4:
         out["tau_n_s"] = _read_s(b, 6, 22) * 2.0**-30
         out["n_t"] = _read_u(b, 60, 11)
+    elif sid == 5:
+        # UTC/system-time string (GLONASS_L1_L2_CA.h:286-290;
+        # glonass_gnav_navigation_message.cc case 5)
+        out["n_a_day"] = _read_u(b, 6, 11)
+        out["tau_c_s"] = _read_s(b, 17, 32) * 2.0**-31
+        out["n_4"] = _read_u(b, 50, 5)
+        out["tau_gps_s"] = _read_s(b, 55, 22) * 2.0**-30
+        out["l_n"] = _read_u(b, 77, 1)
+    elif sid in (6, 8, 10, 12, 14):
+        # almanac even string: orbit part 1 of one slot
+        # (GLONASS_L1_L2_CA.h:293-299; message.cc case 6/8/10/12/14)
+        out["c_n"] = _read_u(b, 6, 1)
+        out["m_n_a"] = _read_u(b, 7, 2)
+        out["slot"] = _read_u(b, 9, 5)
+        out["tau_n_a_s"] = _read_u(b, 14, 10) * 2.0**-18
+        out["lambda_n_a_rad"] = _read_s(b, 24, 21) * 2.0**-20 * np.pi
+        out["delta_i_n_a_rad"] = _read_s(b, 45, 18) * 2.0**-20 * np.pi
+        out["epsilon_n_a"] = _read_u(b, 63, 15) * 2.0**-20
+    elif sid in (7, 9, 11, 13, 15):
+        # almanac odd string: orbit part 2 (pairs with the preceding even
+        # string's slot; GLONASS_L1_L2_CA.h:302-306)
+        out["omega_n_a_rad"] = _read_s(b, 6, 16) * 2.0**-15 * np.pi
+        out["t_lambda_n_a_s"] = _read_u(b, 22, 21) * 2.0**-5
+        out["delta_t_n_a_s"] = _read_s(b, 43, 22) * 2.0**-9
+        out["delta_t_dot_n_a"] = _read_s(b, 65, 7) * 2.0**-14
+        out["h_n_a"] = _read_u(b, 72, 5)
+        out["l_n"] = _read_u(b, 77, 1)
     return out
 
 
@@ -155,6 +182,36 @@ def build_string(fields: dict) -> np.ndarray:
     elif sid == 4:
         _write_s(b, 6, 22, int(round(fields.get("tau_n_s", 0.0) / 2.0**-30)))
         _write_u(b, 60, 11, fields.get("n_t", 0))
+    elif sid == 5:
+        _write_u(b, 6, 11, fields.get("n_a_day", 0))
+        _write_s(b, 17, 32, int(round(fields.get("tau_c_s", 0.0) / 2.0**-31)))
+        _write_u(b, 50, 5, fields.get("n_4", 1))
+        _write_s(b, 55, 22, int(round(fields.get("tau_gps_s", 0.0)
+                                      / 2.0**-30)))
+        _write_u(b, 77, 1, fields.get("l_n", 0))
+    elif sid in (6, 8, 10, 12, 14):
+        _write_u(b, 6, 1, fields.get("c_n", 1))
+        _write_u(b, 7, 2, fields.get("m_n_a", 1))
+        _write_u(b, 9, 5, fields["slot"])
+        _write_u(b, 14, 10, int(round(fields.get("tau_n_a_s", 0.0)
+                                      / 2.0**-18)))
+        _write_s(b, 24, 21, int(round(fields.get("lambda_n_a_rad", 0.0)
+                                      / (2.0**-20 * np.pi))))
+        _write_s(b, 45, 18, int(round(fields.get("delta_i_n_a_rad", 0.0)
+                                      / (2.0**-20 * np.pi))))
+        _write_u(b, 63, 15, int(round(fields.get("epsilon_n_a", 0.0)
+                                      / 2.0**-20)))
+    elif sid in (7, 9, 11, 13, 15):
+        _write_s(b, 6, 16, int(round(fields.get("omega_n_a_rad", 0.0)
+                                     / (2.0**-15 * np.pi))))
+        _write_u(b, 22, 21, int(round(fields.get("t_lambda_n_a_s", 0.0)
+                                      / 2.0**-5)))
+        _write_s(b, 43, 22, int(round(fields.get("delta_t_n_a_s", 0.0)
+                                      / 2.0**-9)))
+        _write_s(b, 65, 7, int(round(fields.get("delta_t_dot_n_a", 0.0)
+                                     / 2.0**-14)))
+        _write_u(b, 72, 5, fields.get("h_n_a", 0))
+        _write_u(b, 77, 1, fields.get("l_n", 0))
     return encode_checks(b[8:])
 
 
@@ -188,7 +245,8 @@ class GlonassGnavDecoder:
     (string 1's t_k gives intra-frame time).
     """
 
-    def __init__(self):
+    def __init__(self, crc_stats=None):
+        self.crc_stats = crc_stats   # optional TlmCrcStats (KX outcomes)
         self.history: list[float] = []
         self.stamps: list[int] = []
         self.synced = False
@@ -196,6 +254,9 @@ class GlonassGnavDecoder:
         self.next_string_start = 0
         self.strings: list[GnavStringUpdate] = []
         self.ephemeris_fields: dict = {}
+        self.utc_model: dict = {}          # string 5 (tau_c, N4, tau_gps)
+        self.almanacs: dict[int, dict] = {}  # slot -> merged even+odd fields
+        self._alm_pending: dict | None = None
 
     def feed(self, chip: float, sample_stamp: int) -> GnavStringUpdate | None:
         self.history.append(float(chip))
@@ -242,6 +303,8 @@ class GlonassGnavDecoder:
         bits_tx_order = (pairs[:, 0] - pairs[:, 1] < 0).astype(np.int64)
         bits85 = bits_tx_order[::-1]  # bit 85 transmitted first
         fields = parse_string(bits85)
+        if self.crc_stats is not None:
+            self.crc_stats.update(fields is not None)
         # trim
         if self.next_string_start > 400:
             drop = self.next_string_start - 200
@@ -252,8 +315,20 @@ class GlonassGnavDecoder:
             return None
         update = GnavStringUpdate(fields["string_id"], fields, stamp)
         self.strings.append(update)
-        if fields["string_id"] in (1, 2, 3, 4):
+        sid = fields["string_id"]
+        if sid in (1, 2, 3, 4):
             self.ephemeris_fields.update(fields)
+        elif sid == 5:
+            self.utc_model = fields
+        elif sid in (6, 8, 10, 12, 14):
+            self._alm_pending = fields
+        elif sid in (7, 9, 11, 13, 15):
+            # odd almanac string completes the even one's slot
+            # (glonass_gnav_navigation_message.cc case 7/9/11/13/15)
+            if self._alm_pending is not None:
+                slot = self._alm_pending["slot"]
+                self.almanacs[slot] = {**self._alm_pending, **fields}
+                self._alm_pending = None
         return update
 
     def has_full_ephemeris(self) -> bool:

@@ -200,7 +200,11 @@ class GpsCnavDecoder:
     CHUNK_BITS = 2 * MSG_BITS     # decode window
     MARGIN = 32                   # traceback settling margin
 
-    def __init__(self, symbol_ms: float = 20.0):
+    def __init__(self, symbol_ms: float = 20.0, crc_stats=None):
+        #: optional TlmCrcStats; the bit-domain message search has no fixed
+        #: frame grid, so only validated messages (and CRC failures at the
+        #: boundary expected after a found message) are counted
+        self.crc_stats = crc_stats
         self.viterbi = ViterbiDecoder(kk=7, nn=2, g=(0o171, 0o133))
         self.symbols: list[float] = []
         self.stamps: list[int] = []
@@ -251,6 +255,8 @@ class GpsCnavDecoder:
             for inv in (0, 1):
                 cand = bits[i:i + MSG_BITS] ^ inv
                 ok, _ = check_message(cand)
+                if ok and self.crc_stats is not None:
+                    self.crc_stats.update(True)
                 if ok:
                     fields = parse_message(cand)
                     stamp = self.bit_stamps[i + MSG_BITS - 1]

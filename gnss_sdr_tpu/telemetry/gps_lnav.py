@@ -272,7 +272,10 @@ class GpsLnavDecoder:
     # subframe can be decoded retroactively
     _HISTORY_CAP = SYMBOLS_PER_SUBFRAME + 400
 
-    def __init__(self):
+    def __init__(self, crc_stats=None):
+        #: optional TlmCrcStats fed with every word-parity outcome
+        #: (tlm_crc_stats.cc role)
+        self.crc_stats = crc_stats
         self.history: list[float] = []
         self.stamps: list[int] = []
         self.base = 0                    # absolute symbol index of history[0]
@@ -302,6 +305,99 @@ class GpsLnavDecoder:
             update = self._try_decode_subframe()
         self._trim_history()
         return update
+
+    def feed_array(self, symbols, stamps) -> np.ndarray:
+        """Vectorized bulk feed: equivalent to per-symbol :meth:`feed` on
+        clean streams, at array speed (the production receiver's
+        steady-state path feeds ~1000 symbols/s/channel; per-call Python
+        overhead would dominate the host budget).
+
+        Returns the per-symbol TOW [ms] (value *after* that symbol, the
+        same quantity ``tow_at_last_symbol_ms`` holds after feed()), NaN
+        where unknown. Divergence from per-symbol feeding, by design:
+        a mid-chunk loss of frame sync resumes the preamble search at the
+        next chunk, and a mid-chunk subframe re-anchor reflects in TOWs
+        from the chunk end instead of the exact subframe edge (identical
+        on streams without symbol slips).
+        """
+        symbols = np.asarray(symbols, dtype=np.float64)
+        stamps_arr = np.asarray(stamps, dtype=np.int64)
+        n = len(symbols)
+        tows = np.full(n, np.nan)
+        i = 0
+        while i < n:
+            if self.frame_sync:
+                rem = n - i
+                tow0 = self.tow_at_last_symbol_ms
+                self.history.extend(symbols[i:].tolist())
+                self.stamps.extend(stamps_arr[i:].tolist())
+                self.n_symbols += rem
+                if tow0 is not None:
+                    self.tow_at_last_symbol_ms = tow0 + rem
+                    tows[i:] = tow0 + np.arange(1, rem + 1, dtype=np.float64)
+                while self.frame_sync:
+                    if self._try_decode_subframe() is None:
+                        break
+                if self.tow_at_last_symbol_ms is not None:
+                    # a decode may have (re)anchored TOW; the chunk tail is
+                    # exact from the latest anchor
+                    tows[n - 1] = self.tow_at_last_symbol_ms
+                    if np.isnan(tows[i:]).any():
+                        tows[i:] = self.tow_at_last_symbol_ms \
+                            - np.arange(rem - 1, -1, -1, dtype=np.float64)
+                i = n
+                self._trim_history()
+            else:
+                consumed = self._search_array(symbols[i:], stamps_arr[i:])
+                if self.tow_at_last_symbol_ms is not None:
+                    tows[i + consumed - 1] = self.tow_at_last_symbol_ms
+                i += consumed
+                self._trim_history()
+        return tows
+
+    def _search_array(self, symbols: np.ndarray,
+                      stamps: np.ndarray) -> int:
+        """Vectorized preamble scan over a chunk; consumes symbols up to
+        (and including) a confirming preamble, or the whole chunk."""
+        n_pre = len(PREAMBLE_SYMBOLS)
+        tail = np.sign(np.asarray(self.history[-(n_pre - 1):], dtype=float)) \
+            if self.history else np.zeros(0)
+        t = len(tail)
+        signs = np.concatenate([tail, np.sign(symbols)])
+        if len(signs) >= n_pre:
+            corr = np.correlate(signs, PREAMBLE_SYMBOLS, mode="valid")
+            hits = np.nonzero(np.abs(corr) == n_pre)[0]
+        else:
+            corr = np.zeros(0)
+            hits = np.zeros(0, dtype=np.int64)
+        for m in hits:
+            j = int(m) + n_pre - 1 - t       # chunk index of preamble end
+            if j < 0:
+                continue
+            pos = self.n_symbols + j + 1 - n_pre   # absolute preamble start
+            inverted = corr[m] < 0
+            confirmed = any(
+                pos - c_pos == SYMBOLS_PER_SUBFRAME and c_inv == inverted
+                for c_pos, c_inv in self.candidates)
+            self.candidates = [
+                (p, iv) for p, iv in self.candidates
+                if pos - p < SYMBOLS_PER_SUBFRAME] + [(pos, bool(inverted))]
+            if confirmed:
+                self.history.extend(symbols[:j + 1].tolist())
+                self.stamps.extend(stamps[:j + 1].tolist())
+                self.n_symbols += j + 1
+                self.frame_sync = True
+                self.inverted = bool(inverted)
+                self.frame_start = pos - SYMBOLS_PER_SUBFRAME
+                self.candidates = []
+                while self.frame_sync and self._try_decode_subframe() \
+                        is not None:
+                    pass
+                return j + 1
+        self.history.extend(symbols.tolist())
+        self.stamps.extend(stamps.tolist())
+        self.n_symbols += len(symbols)
+        return len(symbols)
 
     # -- internals --------------------------------------------------------
     def _abs(self, abs_index: int) -> int:
@@ -359,6 +455,8 @@ class GpsLnavDecoder:
         bits = (np.sum(sym.reshape(BITS_PER_SUBFRAME, SYMBOLS_PER_BIT),
                        axis=1) > 0).astype(np.int64)
         ok, sources = check_subframe(bits, self.prev_d29, self.prev_d30)
+        if self.crc_stats is not None:
+            self.crc_stats.update(bool(ok))
         last_word = bits[-30:]
         stamp = self.stamps[start + SYMBOLS_PER_SUBFRAME - 1]
         self.frame_start += SYMBOLS_PER_SUBFRAME

@@ -135,6 +135,43 @@ class TrackingChannels:
         self.abs_block_start += self.block_samples
 
         out = {k: np.asarray(v) for k, v in out.items()}
+        return self._emit(out, block_start)
+
+    def process_superblock(self, seg: np.ndarray,
+                           n_blocks: int) -> list[list[PeriodOutput]]:
+        """Track ``n_blocks`` consecutive blocks in one device call (the
+        engine's superblock program): dispatch latency amortizes across
+        the segment, which is what makes cold-start pull-in real-time on
+        a remote/tunneled accelerator. ``seg`` must hold
+        ``n_blocks * block_samples + overlap`` samples."""
+        base = self.abs_block_start
+        bs = self.block_samples
+        n_in = bs + self.overlap
+        seg = np.asarray(seg)
+        blocks = np.stack([seg[b * bs: b * bs + n_in]
+                           for b in range(n_blocks)])
+        re = jnp.asarray(np.ascontiguousarray(blocks.real, np.float32))
+        im = jnp.asarray(np.ascontiguousarray(blocks.imag, np.float32))
+        if self.cfg.track_pilot:
+            self.state, out = self.engine._superblock_step(
+                self.state, re, im, self._code_tables_dev,
+                self._data_code_tables_dev)
+        else:
+            self.state, out = self.engine._superblock_step(
+                self.state, re, im, self._code_tables_dev)
+        self.abs_block_start += n_blocks * bs
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        results: list[list[PeriodOutput]] = [
+            [] for _ in range(self.n_channels)]
+        for b in range(n_blocks):
+            blk = {k: v[b] for k, v in out.items()}
+            for ch, lst in enumerate(self._emit(blk, base + b * bs)):
+                results[ch].extend(lst)
+        return results
+
+    def _emit(self, out: dict,
+              block_start: int) -> list[list[PeriodOutput]]:
         results: list[list[PeriodOutput]] = [[] for _ in range(self.n_channels)]
         n_steps = out["valid"].shape[0]
         for step in range(n_steps):

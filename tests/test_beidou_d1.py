@@ -89,3 +89,49 @@ def test_streaming_decoder():
     eph = dec.ephemeris_fields
     assert abs(eph["sqrt_a"] - 5282.6) < 1e-3
     assert dec.tow_at_last_symbol_ms is not None
+
+
+def test_d1_almanac_subframe_roundtrip_and_accumulation():
+    """SF4/SF5 almanac pages (Beidou_DNAV.h:149-158 layout): field
+    roundtrip at ICD scales and per-SV accumulation in the decoder."""
+    import numpy as np
+    import pytest
+
+    from gnss_sdr_tpu.telemetry.beidou_d1 import (
+        BeidouD1Decoder,
+        build_subframe,
+        parse_subframe,
+        subframe_to_symbols,
+    )
+
+    fields = dict(sow=351000.0, pnum=7, sqrt_a_alm=5282.6,
+                  a1_alm=3.6e-12, a0_alm=-9.5e-5, omega0_alm=-2.91,
+                  e_alm=0.012, delta_i_alm=0.051, toa_alm=466944.0,
+                  omega_dot_alm=-2.3e-9, omega_alm=1.44, m0_alm=-0.78)
+    b = build_subframe(4, fields)
+    parsed = parse_subframe(b)
+    assert parsed is not None and parsed["fra_id"] == 4
+    for k, v in fields.items():
+        scale = {"sqrt_a_alm": 2.0**-11, "a1_alm": 2.0**-38,
+                 "a0_alm": 2.0**-20, "omega0_alm": 2.0**-23 * np.pi,
+                 "e_alm": 2.0**-21, "delta_i_alm": 2.0**-19 * np.pi,
+                 "toa_alm": 2.0**12, "omega_dot_alm": 2.0**-38 * np.pi,
+                 "omega_alm": 2.0**-23 * np.pi,
+                 "m0_alm": 2.0**-23 * np.pi}.get(k, 1.0)
+        assert parsed[k] == pytest.approx(v, abs=0.51 * scale), k
+
+    dec = BeidouD1Decoder()
+    rng = np.random.default_rng(4)
+    # decoder preamble-syncs on the stream directly
+    syms = subframe_to_symbols(b)
+    tx = np.where(syms == 1, -1.0, 1.0) * (900.0 + rng.normal(
+        0, 90, len(syms)))
+    for i, s in enumerate(tx):
+        dec.feed(float(s), i)
+    # second copy so the trailing-subframe structure stays consistent
+    f2 = dict(fields, sow=351006.0, pnum=3)
+    for i, s in enumerate(subframe_to_symbols(build_subframe(5, f2))):
+        dec.feed(float(np.where(s == 1, -1.0, 1.0)) * 900.0, 300 + i)
+    assert 7 in dec.almanacs
+    assert 27 in dec.almanacs
+    assert dec.almanacs[7]["sqrt_a_alm"] == pytest.approx(5282.6, abs=2.0**-11)

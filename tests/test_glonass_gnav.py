@@ -1,5 +1,6 @@
 """GLONASS GNAV codec + state-vector ephemeris tests."""
 
+import pytest
 import numpy as np
 
 from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
@@ -95,3 +96,60 @@ def test_glonass_orbit_propagation():
         vel_m_s=tuple(eph.sat_vel(40_600.0)),
     ).sat_pos(40_000.0))
     assert np.linalg.norm(p_back - p0) < 2e3
+
+
+def test_gnav_string5_and_almanac_roundtrip():
+    """Strings 5 (UTC/system time) and 6+7 (almanac pair) encode/decode
+    at ICD quantization and accumulate in the streaming decoder
+    (glonass_gnav_navigation_message.cc cases 5-15)."""
+    import numpy as np
+
+    from gnss_sdr_tpu.telemetry.glonass_gnav import (
+        GlonassGnavDecoder,
+        build_string,
+        parse_string,
+        string_to_symbols,
+    )
+
+    s5 = dict(string_id=5, n_a_day=803, tau_c_s=-1.2e-8, n_4=7,
+              tau_gps_s=3.1e-9, l_n=0)
+    s6 = dict(string_id=6, c_n=1, m_n_a=1, slot=9, tau_n_a_s=1.9e-4,
+              lambda_n_a_rad=-1.04, delta_i_n_a_rad=0.021,
+              epsilon_n_a=0.0012)
+    s7 = dict(string_id=7, omega_n_a_rad=0.51, t_lambda_n_a_s=11471.5,
+              delta_t_n_a_s=-2655.76, delta_t_dot_n_a=6.1e-4, h_n_a=5,
+              l_n=0)
+    scales = {"tau_c_s": 2.0**-31, "tau_gps_s": 2.0**-30,
+              "tau_n_a_s": 2.0**-18,
+              "lambda_n_a_rad": 2.0**-20 * np.pi,
+              "delta_i_n_a_rad": 2.0**-20 * np.pi,
+              "epsilon_n_a": 2.0**-20, "omega_n_a_rad": 2.0**-15 * np.pi,
+              "t_lambda_n_a_s": 2.0**-5, "delta_t_n_a_s": 2.0**-9,
+              "delta_t_dot_n_a": 2.0**-14}
+    for f in (s5, s6, s7):
+        parsed = parse_string(build_string(f))
+        assert parsed is not None and parsed["string_id"] == f["string_id"]
+        for k, v in f.items():
+            if k == "string_id":
+                continue
+            assert parsed[k] == pytest.approx(
+                v, abs=0.51 * scales.get(k, 1e-9) + 1e-12), k
+
+    dec = GlonassGnavDecoder()
+    rng = np.random.default_rng(2)
+    # lead-in time mark so the decoder syncs before string 5
+    from gnss_sdr_tpu.telemetry.glonass_gnav import TIME_MARK
+
+    lead = np.where(TIME_MARK == 1, -1.0, 1.0)
+    stream = [lead]
+    for f in (s5, s6, s7):
+        stream.append(string_to_symbols(build_string(f)))
+    chips = np.concatenate(stream)
+    for i, c in enumerate(chips):
+        dec.feed(c * (900.0 + rng.normal(0, 100)), i)
+    assert dec.utc_model.get("n_4") == 7
+    assert 9 in dec.almanacs
+    alm = dec.almanacs[9]
+    assert alm["h_n_a"] == 5
+    assert alm["lambda_n_a_rad"] == pytest.approx(-1.04, abs=1e-5)
+    assert alm["delta_t_n_a_s"] == pytest.approx(-2655.76, abs=2.0**-9)

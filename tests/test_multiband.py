@@ -113,8 +113,12 @@ def test_glonass_receiver_fix():
                                FS, frame_start_tow_s=frame_start,
                                cn0_db_hz=48.0, seed=6)
     assisted = {("R", p): ephs[p] for p in prns}
+    # 4 satellites = zero redundancy, and GLONASS chips are 2x wider than
+    # GPS: Hatch carrier smoothing (with per-slot FDMA wavelengths) is the
+    # standard lever that brings the code noise under the 5 m bound
     rec = MultiBandReceiver(
-        MultiBandConfig(fs=FS, output_rate_ms=200),
+        MultiBandConfig(fs=FS, output_rate_ms=200,
+                        enable_carrier_smoothing=True, smoothing_factor=50),
         bands=[BandConfig(suffix="1G", satellites=list(prns), n_channels=4,
                           freq_slots=slots)],
         assisted_ephemeris=assisted,

@@ -200,3 +200,29 @@ class TestPrinterAndServer:
             client.close()
         finally:
             server.close()
+
+
+def test_decode_published_mt1005_reference_bytes():
+    """Cross-validation against a THIRD-PARTY byte stream: the RTCM
+    10403 standard's published MT1005 example message (also reproduced
+    in the gpsd/RTKLIB documentation), NOT produced by our encoder.
+    Station 2003, ARP ECEF (1114104.5999, -4850729.7108, 3975521.4643) m.
+    A symmetric encode/decode bug cannot pass this."""
+    from gnss_sdr_tpu.monitor.rtcm import (
+        crc24q_bytes,
+        decode_mt1005,
+        deframe,
+        message_number,
+    )
+
+    wire = bytes.fromhex(
+        "D300133ED7D30202980EDEEF34B4BD62AC0941986F33360B98")
+    payloads = deframe(wire)
+    assert len(payloads) == 1, "framing/CRC-24Q failed on reference bytes"
+    assert message_number(payloads[0]) == 1005
+    fields = decode_mt1005(payloads[0])
+    assert fields["station_id"] == 2003
+    assert fields["gps"] is True
+    assert abs(fields["x"] - 1114104.5999) < 1e-4
+    assert abs(fields["y"] - (-4850729.7108)) < 1e-4
+    assert abs(fields["z"] - 3975521.4643) < 1e-4

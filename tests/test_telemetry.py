@@ -173,3 +173,82 @@ def test_streaming_decoder_sync(invert, offset):
     assert dec.has_full_ephemeris()
     eph2 = GpsEphemeris.from_fields(17, dec.ephemeris_fields)
     assert abs(eph2.sqrt_a - eph.sqrt_a) < 2.0**-18
+
+
+def test_tlm_crc_stats_counters_and_dump(tmp_path):
+    """Tlm_CRC_Stats counterpart: per-channel counters + dump file
+    (tlm_crc_stats.cc)."""
+    from gnss_sdr_tpu.telemetry.tlm_crc_stats import TlmCrcStats
+
+    stats = TlmCrcStats()
+    stats.initialize(str(tmp_path / "crc_stats_ch"))
+    assert stats.set_channel(3)
+    for ok in (True, True, False, True):
+        stats.update(ok)
+    assert stats.num_crc_ok == 3 and stats.num_total == 4
+    assert abs(stats.success_rate - 0.75) < 1e-12
+    text = (tmp_path / "crc_stats_ch3.txt").read_text()
+    assert "3 / 4" in text and "75.00" in text
+
+
+def test_tlm_crc_stats_wired_into_lnav_decoder():
+    """The LNAV decoder reports every subframe parity outcome."""
+    import numpy as np
+
+    from gnss_sdr_tpu.simulate.lnav import build_lnav_bits
+    from gnss_sdr_tpu.simulate.scenario import make_constellation
+    from gnss_sdr_tpu.telemetry import GpsLnavDecoder
+    from gnss_sdr_tpu.telemetry.tlm_crc_stats import TlmCrcStats
+
+    eph = make_constellation([4], toe_s=7200.0)[4]
+    bits = build_lnav_bits(eph, 1200, 3)
+    symbols = np.repeat(bits, 20) * 900.0
+    stats = TlmCrcStats()
+    stats.initialize()
+    dec = GpsLnavDecoder(crc_stats=stats)
+    for i, s in enumerate(symbols):
+        dec.feed(s, i * 2000)
+    assert dec.tow_at_last_symbol_ms is not None
+    assert stats.num_crc_ok >= 2 and stats.num_crc_not_ok == 0
+
+
+def test_lnav_feed_array_equivalent_to_per_symbol():
+    """feed_array == per-symbol feed on a clean stream (chunked feeding is
+    the production receiver's host fast path)."""
+    import numpy as np
+
+    from gnss_sdr_tpu.simulate.lnav import build_lnav_bits
+    from gnss_sdr_tpu.simulate.scenario import make_constellation
+    from gnss_sdr_tpu.telemetry import GpsLnavDecoder
+
+    eph = make_constellation([6], toe_s=7200.0)[6]
+    bits = build_lnav_bits(eph, 1800, 4)
+    rng = np.random.default_rng(5)
+    symbols = np.repeat(bits, 20) * 800.0 + rng.normal(0.0, 120.0,
+                                                       len(bits) * 20)
+    stamps = (np.arange(len(symbols)) + 1) * 2000
+
+    d1 = GpsLnavDecoder()
+    tow1 = []
+    for s, st in zip(symbols, stamps):
+        d1.feed(float(s), int(st))
+        tow1.append(np.nan if d1.tow_at_last_symbol_ms is None
+                    else d1.tow_at_last_symbol_ms)
+    d2 = GpsLnavDecoder()
+    tow2 = np.zeros(0)
+    pos = 0
+    rng2 = np.random.default_rng(7)
+    while pos < len(symbols):
+        k = int(rng2.integers(50, 700))
+        tow2 = np.concatenate(
+            [tow2, d2.feed_array(symbols[pos:pos + k], stamps[pos:pos + k])])
+        pos += k
+
+    assert d1.tow_at_last_symbol_ms == d2.tow_at_last_symbol_ms
+    assert d1.tow_at_last_symbol_ms is not None
+    assert d1.ephemeris_fields == d2.ephemeris_fields
+    # wherever the per-symbol path knows TOW, the array path agrees
+    t1 = np.asarray(tow1)
+    known = ~np.isnan(t1)
+    assert known.any()
+    assert np.allclose(t1[known], tow2[known], atol=1e-9)
