@@ -216,7 +216,10 @@ def make_acquisition(implementation: str, prns, fs: float,
             ms_per_code=int(round(sig.code_period_ms)),
             sampled_ms=int(round(sig.code_period_ms)),
         )
-    for key, value in {**defaults, **overrides}.items():
+    merged = {**defaults, **overrides}
+    caf_window_hz = merged.pop("caf_window_hz", 0.0)
+    both_components = merged.pop("both_signal_components", True)
+    for key, value in merged.items():
         setattr(cfg, key, value)
     if variant == "cccwsr":
         from gnss_sdr_tpu.acquisition.variants import CccwsrAcquisition
@@ -224,6 +227,15 @@ def make_acquisition(implementation: str, prns, fs: float,
         data = signal_replicas(suffix, prns, fs, cfg.sampled_ms, "B")
         pilot = signal_replicas(suffix, prns, fs, cfg.sampled_ms, "C")
         return CccwsrAcquisition(cfg, data, pilot)
+    if variant == "nciq_caf":
+        from gnss_sdr_tpu.acquisition.variants import (
+            NoncoherentIQCafAcquisition)
+
+        data = signal_replicas(suffix, prns, fs, cfg.sampled_ms, "I")
+        pilot = signal_replicas(suffix, prns, fs, cfg.sampled_ms, "Q")
+        return NoncoherentIQCafAcquisition(
+            cfg, data, pilot, both_signal_components=bool(both_components),
+            caf_window_hz=float(caf_window_hz))
     codes = signal_replicas(suffix, prns, fs, cfg.sampled_ms)
     if variant == "quicksync":
         from gnss_sdr_tpu.acquisition.variants import QuickSyncAcquisition
@@ -259,7 +271,7 @@ ACQ_IMPLEMENTATIONS: dict[str, tuple[str, str, dict]] = {
     "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition": (
         "1B", "quicksync", {"sampled_ms": 4}),
     "Galileo_E5a_Pcps_Acquisition": ("5X", "pcps", {}),
-    "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF": ("5X", "pcps", {}),
+    "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF": ("5X", "nciq_caf", {}),
     "Galileo_E5b_PCPS_Acquisition": ("7X", "pcps", {}),
     "Galileo_E6_PCPS_Acquisition": ("E6", "pcps", {}),
     "GLONASS_L1_CA_PCPS_Acquisition": ("1G", "pcps", {}),

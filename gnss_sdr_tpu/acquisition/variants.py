@@ -212,3 +212,90 @@ class CccwsrAcquisition:
                 samplestamp_samples=int(samplestamp))
             for row, prn in enumerate(self.prns)
         }
+
+
+class NoncoherentIQCafAcquisition:
+    """Galileo E5a noncoherent I/Q acquisition with the CAF Doppler filter.
+
+    Counterpart of ``galileo_e5a_noncoherent_iq_acquisition_caf_cc``
+    (/root/reference/src/algorithms/acquisition/gnuradio_blocks/
+    galileo_e5a_noncoherent_iq_acquisition_caf_cc.cc): correlate the E5a-I
+    (data) and E5a-Q (pilot) primary codes separately, sum the magnitude
+    grids non-coherently (``both_signal_components``, :117-138,:538-546),
+    take the peak, and — when ``caf_window_hz > 0`` — refine the Doppler
+    by smoothing the per-bin peak-magnitude profile with the reference's
+    triangular CAF window (weights 1 - 0.5|di|/half, edge-normalized,
+    :599-661) and re-selecting the argmax.
+    """
+
+    def __init__(self, cfg: AcqConfig, data_codes: dict[int, np.ndarray],
+                 pilot_codes: dict[int, np.ndarray],
+                 both_signal_components: bool = True,
+                 caf_window_hz: float = 0.0):
+        from gnss_sdr_tpu.acquisition.pcps import PcpsAcquisition
+
+        self.cfg = cfg
+        self.prns = sorted(data_codes)
+        self.both = both_signal_components
+        self.caf_window_hz = float(caf_window_hz)
+        self._eng_i = PcpsAcquisition(cfg, data_codes)
+        self._eng_q = PcpsAcquisition(cfg, pilot_codes) \
+            if both_signal_components else None
+
+    def _caf_refine(self, grid: np.ndarray, dopplers: np.ndarray
+                    ) -> np.ndarray:
+        """Per-PRN refined Doppler from the triangular-weighted moving
+        average of the per-bin peak magnitudes."""
+        half = int(self.caf_window_hz / (2.0 * self.cfg.doppler_step))
+        prof = grid.max(axis=-1)                       # [P, D]
+        if half < 1:
+            return dopplers[np.argmax(prof, axis=-1)]
+        w = 0.5 / half
+        offs = np.arange(-half, half + 1)
+        weights = 1.0 - w * np.abs(offs)
+        smoothed = np.empty_like(prof)
+        d_bins = prof.shape[1]
+        for d in range(d_bins):
+            lo = max(0, d - half)
+            hi = min(d_bins, d + half + 1)
+            ww = weights[(lo - d + half):(hi - d + half)]
+            smoothed[:, d] = prof[:, lo:hi] @ ww / ww.sum()
+        return dopplers[np.argmax(smoothed, axis=-1)]
+
+    def search(self, samples: np.ndarray, samplestamp: int = 0
+               ) -> dict[int, AcqResult]:
+        cfg = self.cfg
+        dwells = max(1, min(cfg.max_dwells,
+                            len(samples) // cfg.consumed_samples))
+        grid_sum = None
+        for dwell in range(dwells):
+            x = self._eng_i._prepare_buffer(samples, dwell)
+            g = np.asarray(self._eng_i._grid(x, self._eng_i._dopplers))
+            if self._eng_q is not None:
+                g = g + np.asarray(self._eng_q._grid(
+                    x, self._eng_q._dopplers))
+            grid_sum = g if grid_sum is None else grid_sum + g
+        if cfg.use_cfar:
+            stat, i_dop, i_time = _cfar_statistics(
+                jnp.asarray(grid_sum), dwells)
+        else:
+            stat, i_dop, i_time = _second_peak_statistics(
+                jnp.asarray(grid_sum), cfg.samples_per_chip)
+        stat = np.asarray(stat)
+        i_dop = np.asarray(i_dop)
+        i_time = np.asarray(i_time)
+        dopplers = np.asarray(self._eng_i._dopplers)
+        dopp = dopplers[i_dop].astype(float)
+        if self.caf_window_hz > 0:
+            dopp = self._caf_refine(grid_sum, dopplers)
+        threshold = cfg.calculate_threshold()
+        return {
+            prn: AcqResult(
+                prn=prn, positive=bool(stat[row] > threshold),
+                test_statistic=float(stat[row]), threshold=float(threshold),
+                delay_samples=float(int(i_time[row]) % cfg.samples_per_code),
+                doppler_hz=float(np.atleast_1d(dopp)[row]),
+                doppler_step=cfg.doppler_step,
+                samplestamp_samples=int(samplestamp))
+            for row, prn in enumerate(self.prns)
+        }

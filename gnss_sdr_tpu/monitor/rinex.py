@@ -193,6 +193,115 @@ class RinexNavWriter:
         return self.path
 
 
+class Rinex2NavWriter:
+    """GPS navigation file in RINEX 2.11 (the reference's
+    rinex_printer.cc version-2 catalogue: Rinex_Printer with
+    ``rinex_version=2``). One system per file, D19.12 fields, ION
+    ALPHA/BETA + DELTA-UTC header records."""
+
+    def __init__(self, path):
+        self.path = str(path)
+        self.records: list[str] = []
+        self.iono: tuple | None = None
+        self.utc: tuple | None = None
+
+    def set_gps_iono(self, alpha, beta) -> None:
+        self.iono = (tuple(alpha), tuple(beta))
+
+    def set_gps_utc(self, a0, a1, t0t, wn_t) -> None:
+        self.utc = (a0, a1, int(t0t), int(wn_t))
+
+    def add_ephemeris(self, eph: GpsEphemeris) -> None:
+        dt = gps_time_to_datetime(eph.week_number + 2048, eph.toc_s)
+        head = (f"{eph.prn:2d} {dt:%y %m %d %H %M} {dt.second:4.1f}"
+                + _e19(eph.af0) + _e19(eph.af1) + _e19(eph.af2))
+        rows = [
+            (float(eph.iode), eph.crs_m, eph.delta_n_rad_s, eph.m0_rad),
+            (eph.cuc_rad, eph.ecc, eph.cus_rad, eph.sqrt_a),
+            (eph.toe_s, eph.cic_rad, eph.omega0_rad, eph.cis_rad),
+            (eph.i0_rad, eph.crc_m, eph.omega_rad, eph.omega_dot_rad_s),
+            (eph.idot_rad_s, 0.0, float(eph.week_number), 0.0),
+            (2.0, float(eph.sv_health), eph.tgd_s, float(eph.iodc)),
+            (eph.toe_s, 0.0, 0.0, 0.0),
+        ]
+        lines = [head] + ["   " + "".join(_e19(v) for v in row)
+                          for row in rows]
+        self.records.append("\n".join(lines))
+
+    def close(self) -> str:
+        now = datetime.datetime.now(datetime.timezone.utc)
+        lines = [
+            f"{'2.11':>9}{'':11}{'N: GPS NAV DATA':<20}{'':20}"
+            "RINEX VERSION / TYPE",
+            f"{'GNSS-SDR-TPU':<20}{'':20}{now:%Y%m%d %H%M%S} UTC "
+            "PGM / RUN BY / DATE",
+        ]
+        if self.iono is not None:
+            alpha, beta = self.iono
+            a = "".join(f"{v:12.4E}" for v in alpha)
+            b = "".join(f"{v:12.4E}" for v in beta)
+            lines.append(f"  {a:<58}ION ALPHA")
+            lines.append(f"  {b:<58}ION BETA")
+        if self.utc is not None:
+            a0, a1, t0t, wn = self.utc
+            body = f"   {a0:19.12E}{a1:19.12E}{t0t:9d}{wn:9d}"
+            lines.append(f"{body:<60}DELTA-UTC: A0,A1,T,W")
+        lines.append(f"{'':60}END OF HEADER")
+        with open(self.path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+            for rec in self.records:
+                fh.write(rec + "\n")
+        return self.path
+
+
+class Rinex2ObsWriter:
+    """GPS observation file in RINEX 2.11 ('# / TYPES OF OBSERV' header,
+    epoch satellite lists, C1/L1/D1/S1 columns)."""
+
+    OBS_TYPES = ("C1", "L1", "D1", "S1")
+
+    def __init__(self, path, approx_pos=(0.0, 0.0, 0.0)):
+        self.path = str(path)
+        self.approx_pos = approx_pos
+        self.epochs: list[str] = []
+
+    def add_epoch(self, week: int, tow_s: float, rows) -> None:
+        rows = sorted(rows, key=lambda r: r["prn"])
+        dt = gps_time_to_datetime(week + 2048, tow_s)
+        frac = tow_s - math.floor(tow_s)
+        sats = "".join(f"G{r['prn']:02d}" for r in rows)
+        lines = [
+            f" {dt:%y %m %d %H %M} {dt.second:2d}.{int(frac*1e7):07d}"
+            f"  0{len(rows):3d}{sats}"
+        ]
+        for r in rows:
+            lines.append(
+                f"{r['pseudorange_m']:14.3f}  "
+                f"{r['carrier_phase_cycles']:14.3f}  "
+                f"{r['doppler_hz']:14.3f}  "
+                f"{r['cn0_db_hz']:14.3f}  ")
+        self.epochs.append("\n".join(lines))
+
+    def close(self) -> str:
+        now = datetime.datetime.now(datetime.timezone.utc)
+        x, y, z = self.approx_pos
+        types = "".join(f"{t:>6}" for t in self.OBS_TYPES)
+        lines = [
+            f"{'2.11':>9}{'':11}{'OBSERVATION DATA':<20}{'G (GPS)':<20}"
+            "RINEX VERSION / TYPE",
+            f"{'GNSS-SDR-TPU':<20}{'':20}{now:%Y%m%d %H%M%S} UTC "
+            "PGM / RUN BY / DATE",
+            f"{x:14.4f}{y:14.4f}{z:14.4f}{'':18}APPROX POSITION XYZ",
+            f"{len(self.OBS_TYPES):6d}{types:<54}# / TYPES OF OBSERV",
+            f"{'':60}END OF HEADER",
+        ]
+        with open(self.path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+            for rec in self.epochs:
+                fh.write(rec + "\n")
+        return self.path
+
+
 class RinexObsWriter:
     """Multi-GNSS observation file (RINEX 3.02 'O')."""
 

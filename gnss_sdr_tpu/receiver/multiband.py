@@ -96,6 +96,9 @@ class MultiBandConfig:
     apply_tropo: bool = False
     enable_carrier_smoothing: bool = False
     smoothing_factor: int = 200
+    #: collapse same-satellite dual-band rows into the first-order
+    #: ionosphere-free combination (rtklib IONOOPT_IFLC role)
+    iono_free: bool = False
 
 
 class _Band:
@@ -245,6 +248,7 @@ class _Band:
             self.symbol_axis = "imag"
             self.new_decoder = lambda prn=1: GalileoE5aPeriodDecoder(
                 prn, fs=fs)
+            self.decoder_takes_prn = True
         elif sx == "B1":
             from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
             from gnss_sdr_tpu.telemetry.period_decoders import (
@@ -280,10 +284,9 @@ class _Band:
     def make_decoder(self, prn: int = 1):
         """Fresh per-channel decoder; per-PRN where the telemetry layer
         needs it (E5a's CS20 secondary is satellite-specific)."""
-        try:
+        if getattr(self, "decoder_takes_prn", False):
             return self.new_decoder(prn)
-        except TypeError:
-            return self.new_decoder()
+        return self.new_decoder()
 
     def if_freq(self, prn: int) -> float:
         """Per-satellite IF offset (GLONASS FDMA slot; 0 elsewhere)."""
@@ -523,6 +526,10 @@ class MultiBandReceiver:
             # DISTINCT satellites or the LS normal matrix is rank-deficient
             if len({(o.system, o.prn) for o in obs}) < 4:
                 continue
+            if self.cfg.iono_free:
+                from gnss_sdr_tpu.pvt.dual_freq import combine_dual_freq
+
+                obs = combine_dual_freq(obs)
             sol = solve_pvt(obs, rx_tow_ms * 1e-3,
                             apply_tropo=self.cfg.apply_tropo)
             if sol.valid:

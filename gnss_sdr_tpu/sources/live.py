@@ -243,3 +243,51 @@ class FileTimestampSignalSource(FileSignalSource):
             tow -= week_ms
             week += 1
         return TimeTag(sample_index, week, tow)
+
+
+class ZmqSignalSource:
+    """ZeroMQ SUB stream of raw IF samples (ZMQ_Signal_Source,
+    /root/reference/src/algorithms/signal_source/adapters/
+    zmq_signal_source.cc): connect-or-bind a SUB/PULL socket and stream
+    complex64 blocks. ``item_type`` follows the file-source conventions
+    (gr_complex, ishort, ibyte)."""
+
+    def __init__(self, endpoint: str, sampling_frequency: float,
+                 item_type: str = "gr_complex", bind: bool = False,
+                 pull: bool = False, timeout_ms: int = 10_000):
+        import zmq
+
+        self._zmq = zmq
+        self.fs = float(sampling_frequency)
+        self.item_type = item_type
+        self.ctx = zmq.Context.instance()
+        self.sock = self.ctx.socket(zmq.PULL if pull else zmq.SUB)
+        if not pull:
+            self.sock.setsockopt(zmq.SUBSCRIBE, b"")
+        self.sock.setsockopt(zmq.RCVTIMEO, timeout_ms)
+        if bind:
+            self.sock.bind(endpoint)
+        else:
+            self.sock.connect(endpoint)
+        self._buf = np.zeros(0, dtype=np.complex64)
+
+    def read_block(self, n_samples: int) -> np.ndarray:
+        while len(self._buf) < n_samples:
+            raw = self.sock.recv()
+            if self.item_type == "gr_complex":
+                x = np.frombuffer(raw, dtype=np.complex64)
+            elif self.item_type == "ishort":
+                x = _interleaved_to_complex(
+                    np.frombuffer(raw, dtype=np.int16), 2, np.complex64)
+            elif self.item_type == "ibyte":
+                x = _interleaved_to_complex(
+                    np.frombuffer(raw, dtype=np.int8), 2, np.complex64)
+            else:
+                raise ValueError(f"unsupported item_type {self.item_type}")
+            self._buf = np.concatenate([self._buf, x])
+        out = self._buf[:n_samples]
+        self._buf = self._buf[n_samples:]
+        return out
+
+    def close(self) -> None:
+        self.sock.close(0)

@@ -192,7 +192,7 @@ def build_string(fields: dict) -> np.ndarray:
     elif sid in (6, 8, 10, 12, 14):
         _write_u(b, 6, 1, fields.get("c_n", 1))
         _write_u(b, 7, 2, fields.get("m_n_a", 1))
-        _write_u(b, 9, 5, fields["slot"])
+        _write_u(b, 9, 5, fields.get("slot", 1))
         _write_u(b, 14, 10, int(round(fields.get("tau_n_a_s", 0.0)
                                       / 2.0**-18)))
         _write_s(b, 24, 21, int(round(fields.get("lambda_n_a_rad", 0.0)

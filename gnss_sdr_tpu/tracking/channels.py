@@ -29,8 +29,6 @@ class PeriodOutput:
     length: int
     rem_code_phase_samples: float
     prompt: complex
-    data_prompt: complex         # data-component prompt (== prompt unless
-    #                              cfg.track_pilot; dll_pll d_correlator_data)
     corr: np.ndarray             # all taps [T]
     carrier_doppler_hz: float
     code_freq_chips: float
@@ -39,6 +37,9 @@ class PeriodOutput:
     carrier_lock_test: float
     evm: float
     loss_of_lock: bool
+    #: data-component prompt (== prompt unless cfg.track_pilot;
+    #: dll_pll d_correlator_data role)
+    data_prompt: complex = 0j
 
 
 class TrackingChannels:

@@ -123,3 +123,38 @@ class TestCccwsr:
         err = abs(res.delay_samples - delay)
         assert min(err, engine.cfg.samples_per_code - err) < 0.5 * fs / 1.023e6
         assert abs(res.doppler_hz - (-500.0)) <= 250.0
+
+
+def test_e5a_noncoherent_iq_caf_acquisition():
+    """Noncoherent I+Q acquisition with CAF Doppler refinement
+    (galileo_e5a_noncoherent_iq_acquisition_caf_cc role): acquires an
+    E5a QPSK scene and the CAF-refined Doppler is at least as accurate
+    as the raw bin."""
+    import numpy as np
+
+    from gnss_sdr_tpu.acquisition.adapters import make_acquisition
+    from gnss_sdr_tpu.codes.galileo_e5a import galileo_e5a_code
+
+    fs = 12.0e6
+    prn = 4
+    rng = np.random.default_rng(5)
+    ci = galileo_e5a_code(prn, "I").astype(np.float64)
+    cq = galileo_e5a_code(prn, "Q").astype(np.float64)
+    n = int(fs * 0.004)
+    t = np.arange(n) / fs
+    delay = 5321
+    dopp = 1570.0
+    chips = np.floor((np.arange(n) - delay) * 10.23e6 / fs).astype(np.int64)
+    x = ((ci[chips % 10230] + 1j * cq[chips % 10230]) / np.sqrt(2.0)
+         * np.exp(2j * np.pi * dopp * t))
+    x = (x + 0.9 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+
+    acq = make_acquisition(
+        "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF", [prn], fs,
+        doppler_max=4000.0, doppler_step=250.0, pfa=0.001, max_dwells=2,
+        caf_window_hz=1000.0)
+    res = acq.search(x)[prn]
+    assert res.positive, (res.test_statistic, res.threshold)
+    assert abs(res.delay_samples - delay) < 2.0, res.delay_samples
+    assert abs(res.doppler_hz - dopp) <= 250.0, res.doppler_hz

@@ -51,3 +51,47 @@ def test_profiler_produces_numbers(tmp_path):
 
     loaded = json.load(open(tmp_path / "profile.json"))
     assert loaded["platform"]
+
+
+def test_front_end_cal_fit_and_e4000_model():
+    """front-end-cal counterpart: Doppler prediction + LS fit of IF
+    bias/oscillator ppm + the E4000 PLL model (front_end_cal.cc)."""
+    import numpy as np
+
+    from gnss_sdr_tpu.simulate.scenario import (
+        make_constellation,
+        rx_position,
+        visible_sats,
+    )
+    from gnss_sdr_tpu.pvt.geodesy import ecef_to_geodetic
+    from gnss_sdr_tpu.utils.front_end_cal import (
+        estimate_doppler_from_eph,
+        fit_front_end,
+        gps_l1_front_end_model_e4000,
+    )
+
+    toe = 7200.0
+    t = toe + 600.0
+    rx = rx_position()
+    lat, lon, h = ecef_to_geodetic(rx)
+    ephs = make_constellation(range(1, 13), toe_s=toe)
+    prns = visible_sats(ephs, rx, t)[:5]
+    pred = [estimate_doppler_from_eph(ephs[p], t, np.degrees(lat),
+                                      np.degrees(lon), h) for p in prns]
+    # a front-end with a +2.4 ppm oscillator: every satellite shifts by
+    # ppm*1e-6*f_L1; one satellite is a mis-acquisition outlier
+    ppm_true = 2.4
+    offset = ppm_true * 1e-6 * 1575.42e6
+    meas = [d + offset for d in pred]
+    meas[2] += 5000.0   # outlier the median must reject
+    bias, ppm = fit_front_end(pred, meas)
+    assert abs(bias - offset) < 1e-6
+    assert abs(ppm - ppm_true) < 1e-9
+
+    fs_est, f_if, ppm_e = gps_l1_front_end_model_e4000(
+        1000.0, 1000.0 + 3100.0, 2.0e6)
+    # the E4000 PLL quantization offset is absorbed: a ~3.1 kHz measured
+    # error at L1 is ~2 ppm of the 28.8 MHz TCXO
+    assert abs(ppm_e) < 10.0
+    assert abs(fs_est - 2.0e6) / 2.0e6 < 1e-4
+    assert abs(f_if) < 5000.0

@@ -217,3 +217,45 @@ def test_dual_band_e1_e5a_fix():
     assert mean_err < 5.0, f"mean 3D error {mean_err} m (bound 5 m)"
     e5a_tows = [d.tow_at_last_symbol_ms for d in rec.bands[1].decoders]
     assert sum(t is not None for t in e5a_tows) >= 3, e5a_tows
+
+
+def test_iono_free_combination_removes_dispersive_bias():
+    """P_IF on synthetic dual-freq pseudoranges with a 1/f^2 iono layer
+    recovers the meter-accurate fix a single-band solution cannot
+    (rtklib IONOOPT_IFLC role, pvt/dual_freq.py)."""
+    from gnss_sdr_tpu.constants.general import SPEED_OF_LIGHT_M_S as C
+    from gnss_sdr_tpu.pvt.dual_freq import combine_dual_freq
+    from gnss_sdr_tpu.pvt.solver import Observation, solve_pvt
+    from gnss_sdr_tpu.simulate.scenario import (
+        make_constellation,
+        rx_position,
+        true_range_and_rate,
+    )
+
+    f1, f5 = 1575.42e6, 1176.45e6
+    toe = 7200.0
+    t = toe + 1200.0
+    rx = rx_position()
+    ephs = make_constellation(range(1, 13), toe_s=toe)
+    prns = visible_sats(ephs, rx, t)[:6]
+    rng = np.random.default_rng(9)
+    obs = []
+    for p in prns:
+        rho, _, _ = true_range_and_rate(ephs[p], rx, t)
+        dts = ephs[p].clock_bias_s(t - rho / C) - ephs[p].tgd_s
+        iono_l1 = rng.uniform(2.0, 9.0)     # slant iono on L1 [m]
+        for f in (f1, f5):
+            pr = rho - C * dts + iono_l1 * (f1 / f) ** 2
+            obs.append(Observation(prn=p, pseudorange_m=pr, eph=ephs[p],
+                                   carrier_hz=f))
+
+    sol_raw = solve_pvt(obs, t, apply_tropo=False, validate=False)
+    err_raw = np.linalg.norm(sol_raw.pos_ecef - rx)
+
+    combined = combine_dual_freq(obs)
+    assert len(combined) == len(prns)
+    sol_if = solve_pvt(combined, t, apply_tropo=False)
+    err_if = np.linalg.norm(sol_if.pos_ecef - rx)
+
+    assert err_raw > 2.0, err_raw       # uncorrected iono visibly hurts
+    assert err_if < 0.01, err_if        # IF combination removes it exactly

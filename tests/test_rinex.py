@@ -200,3 +200,50 @@ def test_rinex_outputs_pass_format_lint(tmp_path):
     obs_text = (tmp_path / "y.rnx").read_text()
     errs = _lint_rinex(obs_text)
     assert not errs, errs
+
+
+def test_rinex_211_writers(tmp_path):
+    """RINEX 2.11 nav/obs (the reference's version-2 printer catalogue,
+    rinex_printer.cc): structural checks on header records, D19.12
+    fields and the epoch satellite list."""
+    from gnss_sdr_tpu.monitor.rinex import Rinex2NavWriter, Rinex2ObsWriter
+    from gnss_sdr_tpu.simulate.scenario import make_constellation
+
+    ephs = make_constellation([5, 12], toe_s=7200.0)
+    nav = Rinex2NavWriter(tmp_path / "n211.rnx")
+    nav.set_gps_iono((1e-8, 2e-8, -6e-8, 1e-7),
+                     (90000.0, 32768.0, -196608.0, -196608.0))
+    nav.set_gps_utc(9.3e-9, 2.2e-15, 319488, 2200)
+    for e in ephs.values():
+        nav.add_ephemeris(e)
+    nav.close()
+    text = (tmp_path / "n211.rnx").read_text()
+    lines = text.splitlines()
+    assert lines[0][:9].strip() == "2.11"
+    assert lines[0][60:80].strip() == "RINEX VERSION / TYPE"
+    labels = [ln[60:80].strip() for ln in lines]
+    for want in ("ION ALPHA", "ION BETA", "DELTA-UTC: A0,A1,T,W",
+                 "END OF HEADER"):
+        assert want in labels, want
+    body = lines[labels.index("END OF HEADER") + 1:]
+    assert body[0].startswith(" 5 ")
+    assert len(body) == 2 * 8   # 8 lines per record
+    import re
+    assert len(re.findall(r"\d\.\d{12}[ED][-+]\d{2}", body[1])) == 4
+
+    obs = Rinex2ObsWriter(tmp_path / "o211.rnx",
+                          approx_pos=(4789031.0, 176610.0, 4195013.0))
+    obs.add_epoch(2200, 345600.5, [
+        dict(prn=5, pseudorange_m=21936797.5,
+             carrier_phase_cycles=-115281155.8, doppler_hz=1250.2,
+             cn0_db_hz=47.1),
+        dict(prn=12, pseudorange_m=23421111.25, carrier_phase_cycles=0.0,
+             doppler_hz=-3321.0, cn0_db_hz=44.0),
+    ])
+    obs.close()
+    otext = (tmp_path / "o211.rnx").read_text().splitlines()
+    olabels = [ln[60:80].strip() for ln in otext]
+    assert "# / TYPES OF OBSERV" in olabels
+    k = olabels.index("END OF HEADER") + 1
+    assert otext[k].rstrip().endswith("G05G12")
+    assert "  0  2" in otext[k]
