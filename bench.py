@@ -168,9 +168,9 @@ def main() -> None:
     # warm the compile caches with a run long enough to reach BOTH the
     # pull-in superblock and the steady-state superblock programs, then
     # time a fresh receiver
-    warm = ProductionReceiver(rcfg, satellites=list(prns))
+    warm = ProductionReceiver(rcfg, satellites=list(prns), blocks_per_call=20)
     warm.run(e2e_sig[: int(5.0 * FS)])
-    rec = ProductionReceiver(rcfg, satellites=list(prns))
+    rec = ProductionReceiver(rcfg, satellites=list(prns), blocks_per_call=20)
     t0 = time.perf_counter()
     rec.run(e2e_sig)
     e2e_elapsed = time.perf_counter() - t0

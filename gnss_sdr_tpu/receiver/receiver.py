@@ -156,16 +156,17 @@ class Receiver:
         new_solutions.extend(self._run_observables_and_pvt())
         return new_solutions
 
-    def process_superblock(self, seg: np.ndarray,
-                           n_blocks: int) -> list[PvtSolution]:
+    def process_superblock(self, seg: np.ndarray, n_blocks: int,
+                           i8=None) -> list[PvtSolution]:
         """Process ``n_blocks`` blocks in one tracking device call.
 
         Control decisions (acquisition manager, FSM transitions, extended
         mode) run once per superblock instead of per 20 ms block — the
         latency/throughput trade a real-time deployment makes when device
-        dispatch round-trips are expensive."""
+        dispatch round-trips are expensive. ``i8`` optionally carries the
+        span pre-quantized as planar int8 (see TrackingChannels)."""
         self._manage_acquisition(seg)
-        per_channel = self.tracking.process_superblock(seg, n_blocks)
+        per_channel = self.tracking.process_superblock(seg, n_blocks, i8=i8)
         self._feed_decoders(per_channel)
         return self._run_observables_and_pvt()
 

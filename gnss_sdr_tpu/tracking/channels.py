@@ -9,6 +9,7 @@ records equivalent to the reference's ``Gnss_Synchro`` output stream.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax.numpy as jnp
@@ -17,6 +18,36 @@ import numpy as np
 from gnss_sdr_tpu.tracking.engine import TrackingConfig, TrackingEngine
 
 TWO_PI = 2.0 * math.pi
+
+
+@functools.lru_cache(maxsize=1)
+def _dequant_fn():
+    import jax
+
+    def dequant(i8, scale):
+        return i8.astype(jnp.float32) * scale
+
+    return jax.jit(dequant)
+
+
+def quantized_planar(seg: np.ndarray, bits_rms: float = 16.0):
+    """Host->device IF ingest as int8 with a per-block scale.
+
+    GNSS IF samples carry 1-8 significant bits (the reference's native
+    packed formats, SURVEY section 2.2); shipping float32 planar wastes
+    4x the host->device bandwidth, which is the e2e bottleneck when the
+    accelerator sits behind a narrow link. Quantizing at rms/16 puts the
+    quantization noise ~45 dB under the thermal floor; dequantization is
+    a device-side multiply."""
+    re = np.ascontiguousarray(seg.real, np.float32)
+    im = np.ascontiguousarray(seg.imag, np.float32)
+    rms = float(np.sqrt(np.mean(re * re + im * im))) or 1.0
+    q = rms / bits_rms
+    r8 = np.clip(np.round(re / q), -127, 127).astype(np.int8)
+    i8 = np.clip(np.round(im / q), -127, 127).astype(np.int8)
+    dq = _dequant_fn()
+    scale = jnp.float32(q)
+    return dq(jnp.asarray(r8), scale), dq(jnp.asarray(i8), scale)
 
 
 @dataclasses.dataclass
@@ -134,73 +165,82 @@ class TrackingChannels:
             self.state, block_re, block_im, self._code_tables_dev,
             self._data_code_tables_dev)
         self.abs_block_start += self.block_samples
+        return self._emit(np.asarray(out["packed"]), block_start)
 
-        out = {k: np.asarray(v) for k, v in out.items()}
-        return self._emit(out, block_start)
-
-    def process_superblock(self, seg: np.ndarray,
-                           n_blocks: int) -> list[list[PeriodOutput]]:
+    def process_superblock(self, seg: np.ndarray, n_blocks: int,
+                           i8: tuple[np.ndarray, np.ndarray] | None = None
+                           ) -> list[list[PeriodOutput]]:
         """Track ``n_blocks`` consecutive blocks in one device call (the
         engine's superblock program): dispatch latency amortizes across
         the segment, which is what makes cold-start pull-in real-time on
         a remote/tunneled accelerator. ``seg`` must hold
-        ``n_blocks * block_samples + overlap`` samples."""
+        ``n_blocks * block_samples + overlap`` samples; ``i8`` optionally
+        carries the same span pre-quantized as planar int8 (skips the
+        per-call quantization pass AND quarters the upload)."""
         base = self.abs_block_start
         bs = self.block_samples
         n_in = bs + self.overlap
-        seg = np.asarray(seg)
-        blocks = np.stack([seg[b * bs: b * bs + n_in]
-                           for b in range(n_blocks)])
-        re = jnp.asarray(np.ascontiguousarray(blocks.real, np.float32))
-        im = jnp.asarray(np.ascontiguousarray(blocks.imag, np.float32))
-        if self.cfg.track_pilot:
-            self.state, out = self.engine._superblock_step(
-                self.state, re, im, self._code_tables_dev,
-                self._data_code_tables_dev)
+        if i8 is not None:
+            both = np.stack([
+                np.stack([i8[0][b * bs: b * bs + n_in]
+                          for b in range(n_blocks)]),
+                np.stack([i8[1][b * bs: b * bs + n_in]
+                          for b in range(n_blocks)])])
+            args = (jnp.asarray(both),)
+            step = self.engine._superblock_step_i8
         else:
-            self.state, out = self.engine._superblock_step(
-                self.state, re, im, self._code_tables_dev)
+            seg = np.asarray(seg)
+            blocks = np.stack([seg[b * bs: b * bs + n_in]
+                               for b in range(n_blocks)])
+            args = quantized_planar(blocks)
+            step = self.engine._superblock_step
+        if self.cfg.track_pilot:
+            self.state, out = step(self.state, *args,
+                                   self._code_tables_dev,
+                                   self._data_code_tables_dev)
+        else:
+            self.state, out = step(self.state, *args,
+                                   self._code_tables_dev)
         self.abs_block_start += n_blocks * bs
-        out = {k: np.asarray(v) for k, v in out.items()}
-
+        packed = np.asarray(out["packed"])     # ONE device->host transfer
         results: list[list[PeriodOutput]] = [
             [] for _ in range(self.n_channels)]
         for b in range(n_blocks):
-            blk = {k: v[b] for k, v in out.items()}
-            for ch, lst in enumerate(self._emit(blk, base + b * bs)):
+            for ch, lst in enumerate(self._emit(packed[b], base + b * bs)):
                 results[ch].extend(lst)
         return results
 
-    def _emit(self, out: dict,
+    def _emit(self, packed: np.ndarray,
               block_start: int) -> list[list[PeriodOutput]]:
+        """Expand the engine's packed per-period record [S, C, W] into
+        PeriodOutput rows (layout documented at the engine's ``packed``
+        output)."""
         results: list[list[PeriodOutput]] = [[] for _ in range(self.n_channels)]
-        n_steps = out["valid"].shape[0]
+        n_taps = self.cfg.n_taps
+        chip_rate = self.cfg.chip_rate_cps
+        n_steps = packed.shape[0]
         for step in range(n_steps):
-            valid = out["valid"][step]
-            for ch in np.nonzero(valid)[0]:
-                self.acc_carrier_phase_rad[ch] -= float(
-                    out["carr_phase_incr_rad"][step, ch])
+            row = packed[step]
+            for ch in np.nonzero(row[:, 0] > 0.5)[0]:
+                r = row[ch]
+                self.acc_carrier_phase_rad[ch] -= float(r[10])
                 results[ch].append(PeriodOutput(
                     channel=int(ch),
                     prn=self.prn[ch],
-                    sample_start=block_start + int(out["start_offset"][step, ch]),
-                    length=int(out["length"][step, ch]),
-                    rem_code_phase_samples=float(
-                        out["rem_code_phase_samples"][step, ch]),
-                    prompt=complex(out["prompt_re"][step, ch],
-                                   out["prompt_im"][step, ch]),
-                    data_prompt=complex(out["data_prompt_re"][step, ch],
-                                        out["data_prompt_im"][step, ch]),
-                    corr=(out["corr_re"][step, ch]
-                          + 1j * out["corr_im"][step, ch]),
-                    carrier_doppler_hz=float(
-                        out["carrier_doppler_hz"][step, ch]),
-                    code_freq_chips=float(out["code_freq_chips"][step, ch]),
+                    sample_start=block_start + int(r[1]),
+                    length=int(r[2]),
+                    rem_code_phase_samples=float(r[3]),
+                    prompt=complex(r[4], r[5]),
+                    data_prompt=complex(r[6], r[7]),
+                    corr=(r[15:15 + n_taps]
+                          + 1j * r[15 + n_taps:15 + 2 * n_taps]),
+                    carrier_doppler_hz=float(r[8]),
+                    code_freq_chips=chip_rate + float(r[9]),
                     acc_carrier_phase_rad=float(
                         self.acc_carrier_phase_rad[ch]),
-                    cn0_db_hz=float(out["cn0_db_hz"][step, ch]),
-                    carrier_lock_test=float(out["carrier_lock_test"][step, ch]),
-                    evm=float(out["evm"][step, ch]),
-                    loss_of_lock=bool(out["loss_of_lock"][step, ch]),
+                    cn0_db_hz=float(r[11]),
+                    carrier_lock_test=float(r[12]),
+                    evm=float(r[13]),
+                    loss_of_lock=bool(r[14] > 0.5),
                 ))
         return results

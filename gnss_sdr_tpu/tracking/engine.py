@@ -204,11 +204,12 @@ class TrackingEngine:
         )
         # pull-in transitory is counted in (wide-mode) PRN periods
         self._pull_in_steps = int(cfg.pull_in_time_s / cfg.code_period_s)
-        single, multi = self._build_block_step()
+        single, multi, multi_i8 = self._build_block_step()
         self._block_step = jax.jit(single, donate_argnums=(0,))
         # superblock: K blocks per device call (amortizes dispatch latency;
         # the steady-state path for real-time operation)
         self._superblock_step = jax.jit(multi, donate_argnums=(0,))
+        self._superblock_step_i8 = jax.jit(multi_i8, donate_argnums=(0,))
 
     # -- state construction ------------------------------------------------
     def init_state(self) -> TrackState:
@@ -643,6 +644,14 @@ class TrackingEngine:
 
             merged = TrackState(*(sel(n_f, o_f) for n_f, o_f in zip(new, s)))
 
+            dopp_out = jnp.where(process, carrier_doppler,
+                                 s.carrier_doppler_hz)
+            code_dop_out = jnp.where(process, code_dop,
+                                     s.code_doppler_chips)
+            carr_incr_out_m = jnp.where(process, carr_incr_out, 0.0)
+            cn0_out = jnp.where(process, cn0_s, s.cn0_db_hz)
+            lock_out = jnp.where(process, lock_s, s.carrier_lock_test)
+            evm_out = jnp.where(process, evm, s.evm)
             outputs = dict(
                 valid=process,
                 start_offset=s.offset,
@@ -653,17 +662,35 @@ class TrackingEngine:
                 prompt_im=p_im,
                 data_prompt_re=data_p_re,
                 data_prompt_im=data_p_im,
-                carrier_doppler_hz=jnp.where(process, carrier_doppler,
-                                             s.carrier_doppler_hz),
-                code_freq_chips=chip_rate + jnp.where(process, code_dop,
-                                                      s.code_doppler_chips),
+                carrier_doppler_hz=dopp_out,
+                code_freq_chips=chip_rate + code_dop_out,
                 rem_code_phase_samples=s.rem_code_phase_samples,
-                carr_phase_incr_rad=jnp.where(process, carr_incr_out, 0.0),
-                cn0_db_hz=jnp.where(process, cn0_s, s.cn0_db_hz),
-                carrier_lock_test=jnp.where(process, lock_s,
-                                            s.carrier_lock_test),
-                evm=jnp.where(process, evm, s.evm),
+                carr_phase_incr_rad=carr_incr_out_m,
+                cn0_db_hz=cn0_out,
+                carrier_lock_test=lock_out,
+                evm=evm_out,
                 loss_of_lock=merged.loss_of_lock,
+                # one flat per-period record so the host fetches a SINGLE
+                # device array per block (every np.asarray is a round trip
+                # on a remote accelerator). Layout (channels._emit):
+                # [valid, start, length, rem, p_re, p_im, dp_re, dp_im,
+                #  dopp, code_dop, carr_incr, cn0, lock, evm, loss,
+                #  corr_re(T), corr_im(T)]. start < 2^24 is exact in f32;
+                # code Doppler travels as the offset from the nominal
+                # chip rate to keep sub-mHz resolution.
+                packed=jnp.concatenate([
+                    process.astype(jnp.float32)[:, None],
+                    s.offset.astype(jnp.float32)[:, None],
+                    s.cur_len.astype(jnp.float32)[:, None],
+                    s.rem_code_phase_samples[:, None],
+                    p_re[:, None], p_im[:, None],
+                    data_p_re[:, None], data_p_im[:, None],
+                    dopp_out[:, None], code_dop_out[:, None],
+                    carr_incr_out_m[:, None], cn0_out[:, None],
+                    lock_out[:, None], evm_out[:, None],
+                    merged.loss_of_lock.astype(jnp.float32)[:, None],
+                    corr_re, corr_im,
+                ], axis=1),
             )
             return merged, outputs
 
@@ -694,6 +721,13 @@ class TrackingEngine:
                                       data_code_tables)
 
                 return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+
+            def superblock_step_i8(state, blocks_i8, code_tables,
+                                   data_code_tables):
+                return superblock_step(state,
+                                       blocks_i8[0].astype(jnp.float32),
+                                       blocks_i8[1].astype(jnp.float32),
+                                       code_tables, data_code_tables)
         else:
             def block_step(state, block_re, block_im, code_tables):
                 return _run(state, block_re, block_im, code_tables, None)
@@ -708,7 +742,17 @@ class TrackingEngine:
 
                 return jax.lax.scan(outer, state, (blocks_re, blocks_im))
 
-        return block_step, superblock_step
+            def superblock_step_i8(state, blocks_i8, code_tables):
+                # int8 ingest (see FastTrackingEngine): all loop
+                # observables are normalized ratios, so the input scale
+                # cancels and the device just widens to f32; re/im planes
+                # ride one stacked upload ([2, B, L])
+                return superblock_step(state,
+                                       blocks_i8[0].astype(jnp.float32),
+                                       blocks_i8[1].astype(jnp.float32),
+                                       code_tables)
+
+        return block_step, superblock_step, superblock_step_i8
 
     def process_block(
         self, state: TrackState, block_re: jax.Array, block_im: jax.Array,

@@ -491,6 +491,9 @@ class FastTrackingEngine:
                 return jnp.where(mask, a_new, a_old)
 
             merged = FastState(*(sel(nf, of) for nf, of in zip(new, s)))
+            dopp_out = jnp.where(process, carrier_doppler,
+                                 s.carrier_doppler_hz)
+            cn0_out = jnp.where(process, cn0_s, s.cn0_db_hz)
             outputs = dict(
                 valid=process,
                 group_start=s.offset,
@@ -499,14 +502,25 @@ class FastTrackingEngine:
                 prompt_re=ep_re, prompt_im=ep_im,
                 period_prompt_re=corr_re[:, :, prompt_tap],
                 period_prompt_im=corr_im[:, :, prompt_tap],
-                carrier_doppler_hz=jnp.where(process, carrier_doppler,
-                                             s.carrier_doppler_hz),
+                carrier_doppler_hz=dopp_out,
                 code_freq_chips=chip_rate
                 + jnp.where(process, code_dop, s.code_doppler_chips),
                 carr_phase_incr_rad=jnp.where(process, carr_incr_out,
                                               0.0),
-                cn0_db_hz=jnp.where(process, cn0_s, s.cn0_db_hz),
+                cn0_db_hz=cn0_out,
                 loss_of_lock=merged.loss_of_lock,
+                # one flat per-group record [C, 3K+4] so the production
+                # host path fetches a SINGLE device array per superblock
+                # (each device->host read is a round trip on a remote
+                # accelerator): starts | rems | prompts | dopp cn0 valid
+                # loss. Block-relative starts stay < 2^24, exact in f32.
+                packed=jnp.concatenate([
+                    starts.astype(jnp.float32), rems,
+                    corr_re[:, :, prompt_tap],
+                    dopp_out[:, None], cn0_out[:, None],
+                    process.astype(jnp.float32)[:, None],
+                    merged.loss_of_lock.astype(jnp.float32)[:, None],
+                ], axis=1),
             )
             return merged, outputs
 
@@ -675,7 +689,22 @@ class FastTrackingEngine:
 
             return jax.lax.scan(outer, state, (blocks_re, blocks_im))
 
+        def superblock_step_i8(state, blocks_i8, code_tables):
+            # int8 ingest: every loop quantity downstream of the
+            # correlator is a normalized ratio (E-L envelopes, atan
+            # discriminators, M2M4 C/N0, lock tests), so a common input
+            # scale factor cancels — the device just widens to f32. The
+            # re/im planes travel STACKED in one array ([2, B, L]):
+            # host->device transfers carry a large fixed latency on a
+            # remote accelerator, so one upload per superblock, not two.
+            return superblock_step(state,
+                                   blocks_i8[0].astype(jnp.float32),
+                                   blocks_i8[1].astype(jnp.float32),
+                                   code_tables)
+
         self._superblock_step = jax.jit(superblock_step, donate_argnums=(0,))
+        self._superblock_step_i8 = jax.jit(superblock_step_i8,
+                                           donate_argnums=(0,))
         return block_step
 
     def process_block(self, state, block_re, block_im, code_tables):
