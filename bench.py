@@ -165,15 +165,20 @@ def main() -> None:
                           acq_dwells=2, output_rate_ms=100,
                           pull_in_time_s=0.4, extend_correlation_symbols=20,
                           pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75)
-    # warm the compile caches with a run long enough to reach BOTH the
-    # pull-in superblock and the steady-state superblock programs, then
-    # time a fresh receiver
+    # warm the compile caches with a run over the FULL capture (it must
+    # reach every program the timed run uses: pull-in ring superblocks,
+    # the 20-block steady-state ring superblock AND the 5/1-block tail
+    # shapes), then time fresh receivers; best of 2 damps the shared
+    # chip's contention variance
     warm = ProductionReceiver(rcfg, satellites=list(prns), blocks_per_call=20)
-    warm.run(e2e_sig[: int(5.0 * FS)])
-    rec = ProductionReceiver(rcfg, satellites=list(prns), blocks_per_call=20)
-    t0 = time.perf_counter()
-    rec.run(e2e_sig)
-    e2e_elapsed = time.perf_counter() - t0
+    warm.run(e2e_sig)
+    e2e_elapsed = float("inf")
+    for _ in range(2):
+        rec = ProductionReceiver(rcfg, satellites=list(prns),
+                                 blocks_per_call=20)
+        t0 = time.perf_counter()
+        rec.run(e2e_sig)
+        e2e_elapsed = min(e2e_elapsed, time.perf_counter() - t0)
     e2e_value = len(e2e_sig) / e2e_elapsed
     tm = rec.timings
     steady = tm["phase_b_samples"] / tm["phase_b_s"] \

@@ -58,6 +58,10 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), fptr, fptr, ctypes.c_size_t,
             ctypes.c_int]
         lib.unpack2bit_cpx_to_planar.restype = None
+        i8ptr = ctypes.POINTER(ctypes.c_int8)
+        lib.cfloat_quantize_i8.argtypes = [fptr, i8ptr, i8ptr,
+                                           ctypes.c_size_t, ctypes.c_float]
+        lib.cfloat_quantize_i8.restype = None
         _lib = lib
         return _lib
 
@@ -110,6 +114,25 @@ def real_to_planar(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
                             _c(im, ctypes.c_float), n)
         return re, im
     return raw.astype(np.float32), np.zeros(n, dtype=np.float32)
+
+
+def complex_to_quantized_i8(samples: np.ndarray, q: float
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """complex64 -> planar int8 pair at scale ``q`` (one native pass; the
+    production receiver's ingest-ring conversion)."""
+    samples = np.ascontiguousarray(samples, dtype=np.complex64)
+    n = samples.shape[0]
+    lib = _load()
+    if lib is None:
+        re = np.clip(samples.real * q, -127, 127).astype(np.int8)
+        im = np.clip(samples.imag * q, -127, 127).astype(np.int8)
+        return re, im
+    flat = samples.view(np.float32)
+    re8 = np.empty(n, dtype=np.int8)
+    im8 = np.empty(n, dtype=np.int8)
+    lib.cfloat_quantize_i8(_c(flat, ctypes.c_float), _c(re8, ctypes.c_int8),
+                           _c(im8, ctypes.c_int8), n, float(q))
+    return re8, im8
 
 
 def unpack_2bit_cpx_planar(

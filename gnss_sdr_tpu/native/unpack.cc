@@ -69,4 +69,20 @@ void unpack2bit_cpx_to_planar(const uint8_t* in, float* re, float* im,
     }
 }
 
+// interleaved float32 I,Q (gr_complex, i.e. complex64 memory layout) ->
+// planar int8 with a common scale: the device ingest ring format
+// (tracking observables are scale-invariant ratios, see
+// FastTrackingEngine superblock_step_i8). One pass, memory-bound.
+void cfloat_quantize_i8(const float* in, int8_t* re8, int8_t* im8,
+                        size_t n, float q) {
+    for (size_t i = 0; i < n; ++i) {
+        float r = in[2 * i] * q;
+        float m = in[2 * i + 1] * q;
+        r = r > 127.0f ? 127.0f : (r < -127.0f ? -127.0f : r);
+        m = m > 127.0f ? 127.0f : (m < -127.0f ? -127.0f : m);
+        re8[i] = static_cast<int8_t>(r);
+        im8[i] = static_cast<int8_t>(m);
+    }
+}
+
 }  // extern "C"

@@ -16,13 +16,20 @@ Anchor model: tracking emits, per PRN period, the exact (fractional)
 sample of a code-period boundary and the decoder's TOW at that boundary —
 TOW spacing between anchors is exactly one code period of SV time, while
 sample spacing varies with code Doppler.
+
+Anchors are stored as per-channel column arrays (not per-anchor Python
+objects): the production receiver delivers them in ~1000/s/channel bursts
+via :meth:`add_anchors`, and per-object host overhead at that rate would
+dominate the steady-state budget (the reference pays the same cost as
+`Gnss_circular_deque` ring buffers, gnss_circular_deque.h).
 """
 
 from __future__ import annotations
 
-import collections
 import dataclasses
 import math
+
+import numpy as np
 
 from gnss_sdr_tpu.constants.general import MS_PER_WEEK, SPEED_OF_LIGHT_M_MS
 
@@ -42,16 +49,55 @@ class ChannelEpoch:
     sample: int                  # absolute RX sample of this epoch
 
 
-@dataclasses.dataclass
-class _Anchor:
-    sample: float                # fractional absolute sample of boundary
-    tow_ms: float                # transmit TOW at that boundary [ms]
-    doppler_hz: float
-    carrier_phase_rad: float
-    cn0_db_hz: float
-
-
 L1_WAVELENGTH_M = 299_792_458.0 / 1575.42e6
+
+_COLS = 5  # sample, tow_ms, doppler_hz, carrier_phase_rad, cn0_db_hz
+
+
+class _AnchorBuf:
+    """Per-channel anchor columns with amortized append and head trim."""
+
+    def __init__(self, cap: int = 256):
+        self._data = np.zeros((cap, _COLS), dtype=np.float64)
+        self.lo = 0      # first valid row
+        self.hi = 0      # one past last valid row
+
+    def __len__(self) -> int:
+        return self.hi - self.lo
+
+    def clear(self) -> None:
+        self.lo = self.hi = 0
+
+    def append(self, rows: np.ndarray) -> None:
+        n = rows.shape[0]
+        if self.hi + n > self._data.shape[0]:
+            live = self._data[self.lo:self.hi]
+            need = live.shape[0] + n
+            cap = max(self._data.shape[0], 256)
+            while cap < 2 * need:
+                cap *= 2
+            newd = np.zeros((cap, _COLS), dtype=np.float64)
+            newd[:live.shape[0]] = live
+            self._data = newd
+            self.hi -= self.lo
+            self.lo = 0
+        self._data[self.hi:self.hi + n] = rows
+        self.hi += n
+
+    def trim_below(self, sample: float) -> None:
+        """Drop anchors strictly below ``sample``, keeping one (the
+        bracketing 'lo' anchor future epochs still interpolate from)."""
+        view = self._data[self.lo:self.hi, 0]
+        k = int(np.searchsorted(view, sample, side="right"))
+        if k > 1:
+            self.lo += k - 1
+
+    @property
+    def samples(self) -> np.ndarray:
+        return self._data[self.lo:self.hi, 0]
+
+    def row(self, i: int) -> np.ndarray:
+        return self._data[self.lo + i]
 
 
 class ObservablesEngine:
@@ -74,8 +120,7 @@ class ObservablesEngine:
         # (GLONASS FDMA slots and L5/E5a differ from L1 by percents —
         # enough to drift a Hatch filter by meters per smoothing window)
         self._wavelength = [L1_WAVELENGTH_M] * n_channels
-        self._anchors: list[collections.deque[_Anchor]] = [
-            collections.deque(maxlen=history) for _ in range(n_channels)]
+        self._anchors = [_AnchorBuf() for _ in range(n_channels)]
         self._next_epoch_sample = 0.0
         self._epoch_index = 0
         self._fix_tow_ms: float | None = None   # rx TOW at epoch _fix_index
@@ -110,38 +155,44 @@ class ObservablesEngine:
                    doppler_hz: float, carrier_phase_rad: float,
                    cn0_db_hz: float) -> None:
         """Register a code-boundary anchor (one per tracked PRN period)."""
-        self._anchors[ch].append(_Anchor(
-            sample=float(sample), tow_ms=float(tow_ms),
-            doppler_hz=float(doppler_hz),
-            carrier_phase_rad=float(carrier_phase_rad),
-            cn0_db_hz=float(cn0_db_hz)))
+        self._anchors[ch].append(np.array(
+            [[sample, tow_ms, doppler_hz, carrier_phase_rad, cn0_db_hz]],
+            dtype=np.float64))
+
+    def add_anchors(self, ch: int, samples, tow_ms, doppler_hz,
+                    carrier_phase_rad, cn0_db_hz) -> None:
+        """Bulk anchor registration (steady-state superblock path): all
+        arguments are same-length 1-D arrays in time order."""
+        rows = np.stack([
+            np.asarray(samples, dtype=np.float64),
+            np.asarray(tow_ms, dtype=np.float64),
+            np.asarray(doppler_hz, dtype=np.float64),
+            np.asarray(carrier_phase_rad, dtype=np.float64),
+            np.asarray(cn0_db_hz, dtype=np.float64)], axis=1)
+        self._anchors[ch].append(rows)
 
     # -- interpolation (interp_trk_obs equivalent) ------------------------
-    def _interp(self, ch: int, sample: float) -> _Anchor | None:
-        anchors = self._anchors[ch]
-        if len(anchors) < 2:
+    def _interp(self, ch: int, sample: float) -> np.ndarray | None:
+        """Interpolated [sample, tow, dopp, phase, cn0] row at ``sample``
+        or None when not bracketed by anchors."""
+        buf = self._anchors[ch]
+        if len(buf) < 2:
             return None
-        if not anchors[0].sample <= sample <= anchors[-1].sample:
+        ss = buf.samples
+        if not ss[0] <= sample <= ss[-1]:
             return None
-        lo = None
-        hi = None
-        for a in anchors:
-            if a.sample <= sample:
-                lo = a
-            elif hi is None:
-                hi = a
-                break
-        if lo is None or hi is None:
+        k = int(np.searchsorted(ss, sample, side="right"))
+        if k == 0:
             return None
-        f = (sample - lo.sample) / max(hi.sample - lo.sample, 1e-9)
-        return _Anchor(
-            sample=sample,
-            tow_ms=lo.tow_ms + f * (hi.tow_ms - lo.tow_ms),
-            doppler_hz=lo.doppler_hz + f * (hi.doppler_hz - lo.doppler_hz),
-            carrier_phase_rad=lo.carrier_phase_rad
-            + f * (hi.carrier_phase_rad - lo.carrier_phase_rad),
-            cn0_db_hz=lo.cn0_db_hz,
-        )
+        if k >= len(buf):
+            k = len(buf) - 1
+        lo = buf.row(k - 1)
+        hi = buf.row(k)
+        f = (sample - lo[0]) / max(hi[0] - lo[0], 1e-9)
+        out = lo + f * (hi - lo)
+        out[0] = sample
+        out[4] = lo[4]
+        return out
 
     # -- epochs -----------------------------------------------------------
     def epochs_until(self, sample_limit: int) -> list[list[ChannelEpoch]]:
@@ -165,7 +216,7 @@ class ObservablesEngine:
                 # TOW up to the epoch grid (update_TOW :512); thereafter the
                 # RX clock advances with the sample counter, even across
                 # epochs with no valid channels
-                max_tow = max(a.tow_ms for a in interps.values())
+                max_tow = max(a[1] for a in interps.values())
                 self._fix_tow_ms = (
                     (int(max_tow) // self.interval_ms + 1) * self.interval_ms)
                 self._fix_index = epoch_idx
@@ -174,7 +225,7 @@ class ObservablesEngine:
                          ) % MS_PER_WEEK
             rows = []
             for ch, a in interps.items():
-                dt_ms = rx_tow_ms - a.tow_ms
+                dt_ms = rx_tow_ms - a[1]
                 # week rollover guard (hybrid_observables_gs.cc:560-575)
                 if dt_ms > MS_PER_WEEK / 2:
                     dt_ms -= MS_PER_WEEK
@@ -182,13 +233,18 @@ class ObservablesEngine:
                     dt_ms += MS_PER_WEEK
                 pr = dt_ms * SPEED_OF_LIGHT_M_MS
                 if self.enable_carrier_smoothing:
-                    pr = self._smooth_pr(ch, pr, a.carrier_phase_rad)
+                    pr = self._smooth_pr(ch, pr, a[3])
                 rows.append(ChannelEpoch(
-                    prn=0, channel=ch, tow_ms=a.tow_ms,
+                    prn=0, channel=ch, tow_ms=a[1],
                     pseudorange_m=pr,
-                    doppler_hz=a.doppler_hz,
-                    carrier_phase_rad=a.carrier_phase_rad,
-                    cn0_db_hz=a.cn0_db_hz,
+                    doppler_hz=a[2],
+                    carrier_phase_rad=a[3],
+                    cn0_db_hz=a[4],
                     rx_tow_ms=rx_tow_ms, sample=int(s)))
             out.append(rows)
+        # consumed anchors are dead weight: drop everything below the next
+        # epoch tick (keeping the bracketing anchor)
+        for buf in self._anchors:
+            if len(buf) > 1:
+                buf.trim_below(self._next_epoch_sample)
         return out

@@ -48,22 +48,44 @@ class ProductionReceiver:
         self.fast_state = None
         self._fast_codes = None
         self._cap8: tuple[np.ndarray, np.ndarray] | None = None
+        self._ring = None  # device-resident [2, L] int8 capture
         self.handoff_sample: int | None = None
         self.solutions = self.receiver.solutions
 
     # -- phase A ----------------------------------------------------------
+    def _channel_ready(self, ch: int) -> bool:
+        rec = self.receiver
+        return (rec._bit_sync[ch].synced
+                and rec._period_count[ch]
+                >= rec.cfg.pull_in_time_s * 1000 + 100)
+
     def _ready_for_handoff(self) -> bool:
+        """All tracking channels past pull-in and bit-synced — or, after a
+        grace period, a quorum of them (one sick channel must not pin the
+        receiver on the latency-bound scan engine forever; the reference
+        equivalent is a channel loss-of-lock event returning the SV to the
+        pool, gnss_flowgraph.cc:1956-1996)."""
         rec = self.receiver
         tracking = [f for f in rec.fsms if f.state is ChannelState.TRACKING]
         if len(tracking) < min(4, rec.cfg.n_channels):
             return False
-        for f in tracking:
-            ch = f.channel_id
-            if not rec._bit_sync[ch].synced:
-                return False
-            if rec._period_count[ch] < rec.cfg.pull_in_time_s * 1000 + 100:
-                return False
-        return True
+        ready = [f for f in tracking if self._channel_ready(f.channel_id)]
+        if len(ready) == len(tracking):
+            return True
+        grace = rec.cfg.pull_in_time_s * 1000 + 100 + 1500
+        if len(ready) >= min(4, rec.cfg.n_channels) and any(
+                rec._period_count[f.channel_id] > grace for f in ready):
+            # drop the stragglers back to the pool and hand off the quorum
+            for f in tracking:
+                if not self._channel_ready(f.channel_id):
+                    ch = f.channel_id
+                    prn = f.loss_of_lock()
+                    if prn:
+                        rec.sat_pool.append(prn)
+                    rec.tracking.stop_channel(ch)
+                    rec.observables.reset_channel(ch)
+            return True
+        return False
 
     def _handoff(self) -> None:
         rec = self.receiver
@@ -114,39 +136,28 @@ class ProductionReceiver:
         self.handoff_sample = rec.tracking.abs_block_start
 
     # -- phase B ----------------------------------------------------------
-    def _fast_superblock(self, samples: np.ndarray, base: int,
-                         n_blocks: int) -> None:
-        """Process ``n_blocks`` consecutive fast blocks in ONE device call
-        (the engine's superblock program) and one vectorized host pass.
+    def _dispatch_ring(self, base: int, n_blocks: int):
+        """Launch ``n_blocks`` consecutive fast blocks as ONE device call
+        reading from the device-resident int8 ring, and return the
+        (async) output handles. JAX dispatch is asynchronous: the host
+        returns as soon as the program is enqueued, so the caller can
+        consume the PREVIOUS superblock's outputs while the device runs
+        this one."""
+        fast = self.fast
+        codes = fast._get_bank(self._fast_codes) \
+            if fast.correlator == "bank" else self._fast_codes
+        self.fast_state, out = fast._superblock_ring_i8(
+            self.fast_state, self._ring, jnp.int32(base), int(n_blocks),
+            codes)
+        return out
 
-        This is the real-time serving shape: per-block dispatch latency
-        amortizes over the superblock, and the decoder feed happens via
-        GpsLnavDecoder.feed_array instead of ~1000 Python calls per
-        channel-second.
-        """
+    def _consume_superblock(self, out, base: int, n_blocks: int) -> None:
+        """Host pass over one superblock's packed record: vectorized
+        decoder feed (GpsLnavDecoder.feed_array) + bulk observables
+        anchors instead of ~1000 Python calls per channel-second."""
         rec = self.receiver
         fast = self.fast
         fb = fast.block_samples
-        n_in = fb + fast.overlap
-        codes = fast._get_bank(self._fast_codes) \
-            if fast.correlator == "bank" else self._fast_codes
-        if self._cap8 is not None:
-            re8, im8 = self._cap8
-            both = np.stack([
-                np.stack([re8[base + b * fb: base + b * fb + n_in]
-                          for b in range(n_blocks)]),
-                np.stack([im8[base + b * fb: base + b * fb + n_in]
-                          for b in range(n_blocks)])])
-            self.fast_state, out = fast._superblock_step_i8(
-                self.fast_state, jnp.asarray(both), codes)
-        else:
-            blocks = np.stack([samples[base + b * fb: base + b * fb + n_in]
-                               for b in range(n_blocks)])
-            from gnss_sdr_tpu.tracking.channels import quantized_planar
-
-            re, im = quantized_planar(blocks)
-            self.fast_state, out = fast._superblock_step(
-                self.fast_state, re, im, codes)
         # ONE device->host transfer: every per-group quantity the host
         # needs travels in the packed record (round trips dominate on a
         # remote accelerator)
@@ -156,15 +167,18 @@ class ProductionReceiver:
         t_prn_s = rec.tracking.cfg.code_period_s
         # per-(block,group) absolute base offsets
         block_base = base + np.arange(bb, dtype=np.int64)[:, None] * fb
-        p2 = packed.reshape(bb * gg, n_ch, 3 * kk + 4)
-        valid = p2[:, :, 3 * kk + 2] > 0.5
-        dopp = p2[:, :, 3 * kk]
-        cn0 = p2[:, :, 3 * kk + 1]
+        # layout (fast_engine close_loops ``packed``): starts | rems |
+        # pilot prompts | data_re | data_im | dopp cn0 valid loss
+        p2 = packed.reshape(bb * gg, n_ch, 5 * kk + 4)
+        valid = p2[:, :, 5 * kk + 2] > 0.5
+        dopp = p2[:, :, 5 * kk]
+        cn0 = p2[:, :, 5 * kk + 1]
         starts = (np.repeat(block_base.reshape(-1), gg)[:, None, None]
                   + p2[:, :, :kk].astype(np.int64))
         rems = p2[:, :, kk:2 * kk]
-        prompts = p2[:, :, 2 * kk:3 * kk]
-        loss_any = (p2[:, :, 3 * kk + 3] > 0.5).any(axis=0)
+        prompts = p2[:, :, 3 * kk:4 * kk]   # data-component (== pilot
+        #                                     prompt on data-only bands)
+        loss_any = (p2[:, :, 5 * kk + 3] > 0.5).any(axis=0)
 
         for f in rec.fsms:
             ch = f.channel_id
@@ -184,11 +198,11 @@ class ProductionReceiver:
                 acc = acc0 - TWO_PI * t_prn_s * np.cumsum(ch_dopp)
                 rec.tracking.acc_carrier_phase_rad[ch] = acc[-1]
                 known = ~np.isnan(tows)
-                for s_, r_, t_, d_, a_, c_ in zip(
-                        ch_starts[known], ch_rems[known], tows[known],
-                        ch_dopp[known], acc[known], ch_cn0[known]):
-                    rec.observables.add_anchor(
-                        ch, s_ + r_, t_ - 1.0, d_, a_, c_)
+                if known.any():
+                    rec.observables.add_anchors(
+                        ch, ch_starts[known] + ch_rems[known],
+                        tows[known] - 1.0, ch_dopp[known], acc[known],
+                        ch_cn0[known])
             dec = rec.decoders[ch]
             if dec.has_full_ephemeris() and f.prn not in rec.ephemerides:
                 rec.ephemerides[f.prn] = GpsEphemeris.from_fields(
@@ -281,23 +295,27 @@ class ProductionReceiver:
     def run(self, samples: np.ndarray):
         import time as _time
 
+        import jax
+
         rec = self.receiver
         block = rec.block_samples
         pos = 0
         t_run0 = _time.perf_counter()
-        # one-pass int8 ingest conversion for the steady-state phase
-        # (in a real deployment samples ARRIVE packed from the front
-        # end; synthetic float captures pay this conversion once here
-        # instead of per superblock)
+        # one-pass int8 ingest conversion + ONE upload of the whole
+        # capture as a device-resident planar-int8 ring. In a real
+        # deployment samples ARRIVE packed from the front end and are
+        # staged into device HBM in large chunks; per-superblock uploads
+        # interleaved with the compute+download pipeline stall the
+        # (tunneled) transfer engine (~3x measured end-to-end loss).
         if np.iscomplexobj(samples):
-            re = np.ascontiguousarray(samples.real, np.float32)
-            im = np.ascontiguousarray(samples.imag, np.float32)
-            head = re[:1 << 20]
+            from gnss_sdr_tpu.native import complex_to_quantized_i8
+
+            head = np.ascontiguousarray(
+                samples[:1 << 20].real, np.float32)
             rms = float(np.sqrt(np.mean(head * head))) * np.sqrt(2.0) or 1.0
             q = 16.0 / rms
-            self._cap8 = (
-                np.clip(re * q, -127, 127).astype(np.int8),
-                np.clip(im * q, -127, 127).astype(np.int8))
+            self._cap8 = complex_to_quantized_i8(samples, q)
+            self._ring = jax.device_put(np.stack(self._cap8))
         # phase A: superblocked pull-in (10 blocks = 200 ms of control
         # latency per acquisition/FSM round; per-20 ms dispatches would be
         # transfer-latency-bound on a remote accelerator)
@@ -305,9 +323,11 @@ class ProductionReceiver:
         while self.fast is None and \
                 pos + sa * block + rec.overlap <= len(samples):
             hi = pos + sa * block + rec.overlap
-            i8 = (self._cap8[0][pos:hi], self._cap8[1][pos:hi]) \
-                if self._cap8 is not None else None
-            rec.process_superblock(samples[pos:hi], sa, i8=i8)
+            if self._ring is not None:
+                rec.process_superblock_ring(samples[pos:hi], self._ring,
+                                            pos, sa)
+            else:
+                rec.process_superblock(samples[pos:hi], sa)
             pos += sa * block
             if self._ready_for_handoff():
                 self._handoff()
@@ -321,14 +341,34 @@ class ProductionReceiver:
         # absolute sample basis)
         t_split = _time.perf_counter()
         phase_b_samples = 0
-        if self.fast is not None:
+        if self.fast is not None and self._ring is not None:
             fb = self.fast.block_samples
-            sb = self.blocks_per_call * fb
             base = self.handoff_sample
-            while base + sb + self.fast.overlap <= len(samples):
-                self._fast_superblock(samples, base, self.blocks_per_call)
-                base += sb
+            # software pipelining: superblock N+1 is dispatched (async)
+            # BEFORE superblock N's packed record is pulled to the host,
+            # so decoder/observables/PVT host work overlaps device
+            # compute. The tail runs as smaller ring superblocks (static
+            # shapes 5 and 1, compile-cached) instead of per-block calls.
+            pending: tuple | None = None
+            while True:
+                avail = (len(samples) - self.fast.overlap - base) // fb
+                if avail <= 0:
+                    break
+                nb = self.blocks_per_call if avail >= self.blocks_per_call \
+                    else (5 if avail >= 5 else 1)
+                out = self._dispatch_ring(base, nb)
+                if pending is not None:
+                    self._consume_superblock(*pending)
+                    self._pvt(base - 2 * self.fast.max_period)
+                pending = (out, base, nb)
+                base += nb * fb
+            if pending is not None:
+                self._consume_superblock(*pending)
                 self._pvt(base - 2 * self.fast.max_period)
+            phase_b_samples = base - self.handoff_sample
+        elif self.fast is not None:
+            fb = self.fast.block_samples
+            base = self.handoff_sample
             while base + fb + self.fast.overlap <= len(samples):
                 self._fast_block(samples, base)
                 base += fb

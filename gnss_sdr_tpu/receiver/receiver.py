@@ -170,6 +170,19 @@ class Receiver:
         self._feed_decoders(per_channel)
         return self._run_observables_and_pvt()
 
+    def process_superblock_ring(self, host_block: np.ndarray, ring,
+                                base: int, n_blocks: int
+                                ) -> list[PvtSolution]:
+        """Like :meth:`process_superblock`, but tracking reads its samples
+        from a device-resident int8 ring (``ring``, planar [2, L]) at ring
+        offset ``base``; ``host_block`` is the matching host-side slice
+        used only for acquisition searches."""
+        self._manage_acquisition(host_block)
+        per_channel = self.tracking.process_superblock_ring(
+            ring, base, n_blocks)
+        self._feed_decoders(per_channel)
+        return self._run_observables_and_pvt()
+
     # -- receiver management (gnss_flowgraph.cc:1986-2005 standby,
     #    control_thread.cc apply_action cold/warm/hot start,
     #    tcp_cmd_interface.cc verb semantics) --------------------------------

@@ -11,12 +11,23 @@ from __future__ import annotations
 
 
 class BitSync:
-    def __init__(self, symbols_per_bit: int = 20, required: int = 8):
+    def __init__(self, symbols_per_bit: int = 20, required: int = 8,
+                 window: int = 24):
         self.spb = symbols_per_bit
         self.required = required
         self.count = 0
         self._last_sign = 0.0
-        self._votes = [0] * symbols_per_bit  # histogram over phases
+        # sliding window of recent transition phases: during FLL pull-in
+        # the prompt rotates through zero at arbitrary phases, and a
+        # cumulative histogram poisoned by those votes can stay below the
+        # 2x-margin test for many seconds after the loops settle (the
+        # margin denominator never decays). Scoring only the latest
+        # ``window`` transitions ages the pull-in garbage out within a
+        # couple of bits of clean tracking.
+        import collections
+
+        self._recent: collections.deque[int] = collections.deque(
+            maxlen=window)
         self.bit_phase: int | None = None  # period index mod spb of boundary
 
     @property
@@ -27,20 +38,24 @@ class BitSync:
         """One prompt per code period; returns True when sync is achieved
         on this symbol.
 
-        Histogram voting: every sign transition votes for its phase; sync
-        when the leading phase has ``required`` votes and a 2x margin over
-        the runner-up (robust at low C/N0 where noise adds spurious
-        transitions at random phases)."""
+        Sliding-window histogram voting: every sign transition votes for
+        its phase; sync when, among the most recent transitions, the
+        leading phase has ``required`` votes and a 2x margin over the
+        runner-up (robust at low C/N0 where noise adds spurious
+        transitions at random phases, and against pull-in transients)."""
         idx = self.count
         self.count += 1
         sign = 1.0 if prompt_i >= 0 else -1.0
         if self._last_sign != 0.0 and sign != self._last_sign \
                 and not self.synced:
-            self._votes[idx % self.spb] += 1
-            ranked = sorted(self._votes, reverse=True)
+            self._recent.append(idx % self.spb)
+            votes = [0] * self.spb
+            for ph in self._recent:
+                votes[ph] += 1
+            ranked = sorted(votes, reverse=True)
             if ranked[0] >= self.required and ranked[0] >= 2 * (ranked[1] + 1):
                 self.bit_phase = int(max(range(self.spb),
-                                         key=self._votes.__getitem__))
+                                         key=votes.__getitem__))
                 self._last_sign = sign
                 return True
         self._last_sign = sign

@@ -210,6 +210,31 @@ class TrackingChannels:
                 results[ch].extend(lst)
         return results
 
+    def process_superblock_ring(self, ring_dev, base: int, n_blocks: int
+                                ) -> list[list[PeriodOutput]]:
+        """Track ``n_blocks`` blocks sliced ON DEVICE from a resident
+        planar-int8 ring ([2, L]); ``base`` is the ring index of the first
+        block (== absolute sample index when the ring holds the whole
+        capture). Avoids all per-call host->device uploads (see
+        TrackingEngine._superblock_ring_i8)."""
+        abs_base = self.abs_block_start
+        bs = self.block_samples
+        import jax.numpy as jnp
+
+        args = (self.state, ring_dev, jnp.int32(base), int(n_blocks),
+                self._code_tables_dev)
+        if self.cfg.track_pilot:
+            args = args + (self._data_code_tables_dev,)
+        self.state, out = self.engine._superblock_ring_i8(*args)
+        self.abs_block_start += n_blocks * bs
+        packed = np.asarray(out["packed"])     # ONE device->host transfer
+        results: list[list[PeriodOutput]] = [
+            [] for _ in range(self.n_channels)]
+        for b in range(n_blocks):
+            for ch, lst in enumerate(self._emit(packed[b], abs_base + b * bs)):
+                results[ch].extend(lst)
+        return results
+
     def _emit(self, packed: np.ndarray,
               block_start: int) -> list[list[PeriodOutput]]:
         """Expand the engine's packed per-period record [S, C, W] into

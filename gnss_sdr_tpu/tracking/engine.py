@@ -43,6 +43,10 @@ from gnss_sdr_tpu.ops.correlator import multicorrelate
 
 TWO_PI = 2.0 * math.pi
 
+#: jitted program sets keyed by (config, n_channels, block, unroll) —
+#: shared across engine instances so fresh receivers skip re-tracing
+_PROGRAM_CACHE: dict = {}
+
 
 @dataclasses.dataclass
 class TrackingConfig:
@@ -171,10 +175,16 @@ class TrackingEngine:
     straddling the block edge is fully contained.
     """
 
-    def __init__(self, cfg: TrackingConfig, n_channels: int, block_samples: int):
+    def __init__(self, cfg: TrackingConfig, n_channels: int,
+                 block_samples: int, scan_unroll: int = 4):
         self.cfg = cfg
         self.n_channels = n_channels
         self.block_samples = int(block_samples)
+        #: lax.scan unroll factor for the per-period loop: each scan
+        #: iteration carries a fixed sequencing overhead on TPU (small
+        #: kernels + loop bookkeeping); unrolling lets XLA fuse across
+        #: consecutive periods. Pure semantics no-op.
+        self.scan_unroll = int(scan_unroll)
         spc = cfg.samples_per_code
         # margin absorbs Doppler-induced length changes (<< 16 samples) and
         # the +-1 rounding of K_blk_samples
@@ -204,12 +214,34 @@ class TrackingEngine:
         )
         # pull-in transitory is counted in (wide-mode) PRN periods
         self._pull_in_steps = int(cfg.pull_in_time_s / cfg.code_period_s)
-        single, multi, multi_i8 = self._build_block_step()
-        self._block_step = jax.jit(single, donate_argnums=(0,))
-        # superblock: K blocks per device call (amortizes dispatch latency;
-        # the steady-state path for real-time operation)
-        self._superblock_step = jax.jit(multi, donate_argnums=(0,))
-        self._superblock_step_i8 = jax.jit(multi_i8, donate_argnums=(0,))
+        # Programs are cached ACROSS engine instances with equal configs:
+        # every fresh receiver otherwise re-traces the whole block program
+        # (seconds of host time at cold start even with a warm XLA
+        # compile cache).
+        key = (dataclasses.astuple(cfg), n_channels, self.block_samples,
+               self.scan_unroll)
+        progs = _PROGRAM_CACHE.get(key)
+        if progs is None:
+            single, multi, multi_i8, ring_i8 = self._build_block_step()
+            progs = (
+                jax.jit(single, donate_argnums=(0,)),
+                # superblock: K blocks per device call (amortizes dispatch
+                # latency; the steady-state path for real-time operation)
+                jax.jit(multi, donate_argnums=(0,)),
+                jax.jit(multi_i8, donate_argnums=(0,)),
+                # ring form: the whole capture (or a staging ring) lives
+                # on the device as planar int8 and each superblock slices
+                # its blocks on-device from a traced base offset.
+                # Interleaving per-call host->device uploads with the
+                # compute+download pipeline stalls the (tunneled) transfer
+                # engine for ~0.5 s per call — measured 3x end-to-end
+                # throughput loss vs device-resident input.
+                jax.jit(ring_i8, donate_argnums=(0,), static_argnums=(3,)),
+                jax.jit(self._start_channel_impl),
+            )
+            _PROGRAM_CACHE[key] = progs
+        (self._block_step, self._superblock_step, self._superblock_step_i8,
+         self._superblock_ring_i8, self._start_channel_jit) = progs
 
     # -- state construction ------------------------------------------------
     def init_state(self) -> TrackState:
@@ -259,23 +291,37 @@ class TrackingEngine:
         (dll_pll_veml_tracking.cc:1813-1844): Doppler from acquisition,
         nominal code frequency, zero remnant phases, loop filters
         initialized from the acquisition Doppler.
+
+        The ~30-field update runs as ONE jitted program (ch is a traced
+        index): issued eagerly it is ~30 tiny device dispatches, which at
+        remote-accelerator round-trip latency costs seconds when a
+        12-channel cold start assigns every channel at once.
         """
+        return self._start_channel_jit(
+            state, jnp.int32(ch), jnp.float32(doppler_hz),
+            jnp.int32(offset_samples), jnp.int32(cur_len),
+            jnp.float32(if_freq_hz))
+
+    def _start_channel_impl(
+        self, state: TrackState, ch, doppler, offset_samples, cur_len,
+        if_freq_hz,
+    ) -> TrackState:
         cfg = self.cfg
-        doppler = jnp.float32(doppler_hz)
+        doppler_hz = doppler
         if self._gains.order == 3:
-            w0, x0 = jnp.float32(0.0), jnp.float32(2.0 * doppler_hz)
+            w0, x0 = jnp.float32(0.0), 2.0 * doppler
         else:
             w0, x0 = doppler, jnp.float32(0.0)
         cspc = cfg.code_samples_per_chip
         return state._replace(
             active=state.active.at[ch].set(True),
-            offset=state.offset.at[ch].set(int(offset_samples)),
-            cur_len=state.cur_len.at[ch].set(int(cur_len)),
+            offset=state.offset.at[ch].set(offset_samples),
+            cur_len=state.cur_len.at[ch].set(cur_len),
             rem_code_phase_samples=state.rem_code_phase_samples.at[ch].set(0.0),
             rem_code_phase_chips=state.rem_code_phase_chips.at[ch].set(0.0),
             rem_carr_phase_rad=state.rem_carr_phase_rad.at[ch].set(0.0),
             carrier_doppler_hz=state.carrier_doppler_hz.at[ch].set(doppler),
-            if_freq_hz=state.if_freq_hz.at[ch].set(float(if_freq_hz)),
+            if_freq_hz=state.if_freq_hz.at[ch].set(if_freq_hz),
             code_doppler_chips=state.code_doppler_chips.at[ch].set(0.0),
             carrier_phase_step_rad=state.carrier_phase_step_rad.at[ch].set(
                 TWO_PI * (doppler_hz + if_freq_hz) / cfg.fs),
@@ -700,7 +746,8 @@ class TrackingEngine:
                 scan_body, block_re=block_re, block_im=block_im,
                 code_tables=code_tables, data_code_tables=data_code_tables)
             state, outputs = jax.lax.scan(
-                lambda c, xs: body(c, xs), state, None, length=n_steps)
+                lambda c, xs: body(c, xs), state, None, length=n_steps,
+                unroll=min(self.scan_unroll, n_steps))
             # rebase offsets for the next block (stream advances by
             # block_samples; the overlap region repeats)
             state = state._replace(
@@ -728,6 +775,20 @@ class TrackingEngine:
                                        blocks_i8[0].astype(jnp.float32),
                                        blocks_i8[1].astype(jnp.float32),
                                        code_tables, data_code_tables)
+
+            def superblock_ring_i8(state, ring_i8, base, n_blocks,
+                                   code_tables, data_code_tables):
+                def outer(carry, b):
+                    lo = base + b * block_samples
+                    blk_re = jax.lax.dynamic_slice(
+                        ring_i8[0], (lo,), (total,)).astype(jnp.float32)
+                    blk_im = jax.lax.dynamic_slice(
+                        ring_i8[1], (lo,), (total,)).astype(jnp.float32)
+                    return block_step(carry, blk_re, blk_im, code_tables,
+                                      data_code_tables)
+
+                return jax.lax.scan(outer, state,
+                                    jnp.arange(n_blocks, dtype=jnp.int32))
         else:
             def block_step(state, block_re, block_im, code_tables):
                 return _run(state, block_re, block_im, code_tables, None)
@@ -752,7 +813,24 @@ class TrackingEngine:
                                        blocks_i8[1].astype(jnp.float32),
                                        code_tables)
 
-        return block_step, superblock_step, superblock_step_i8
+            def superblock_ring_i8(state, ring_i8, base, n_blocks,
+                                   code_tables):
+                """Same as superblock_step_i8 but the input is a
+                device-resident planar-int8 ring ([2, L]); block b covers
+                ring[:, base + b*block_samples :][:block+overlap]."""
+                def outer(carry, b):
+                    lo = base + b * block_samples
+                    blk_re = jax.lax.dynamic_slice(
+                        ring_i8[0], (lo,), (total,)).astype(jnp.float32)
+                    blk_im = jax.lax.dynamic_slice(
+                        ring_i8[1], (lo,), (total,)).astype(jnp.float32)
+                    return block_step(carry, blk_re, blk_im, code_tables)
+
+                return jax.lax.scan(outer, state,
+                                    jnp.arange(n_blocks, dtype=jnp.int32))
+
+        return block_step, superblock_step, superblock_step_i8, \
+            superblock_ring_i8
 
     def process_block(
         self, state: TrackState, block_re: jax.Array, block_im: jax.Array,

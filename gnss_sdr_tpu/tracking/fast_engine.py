@@ -42,6 +42,10 @@ from gnss_sdr_tpu.tracking.engine import TrackingConfig, TrackState
 
 TWO_PI = 2.0 * math.pi
 
+#: jitted program sets keyed by (config, channels, groups, correlator,
+#: loop) — shared across engine instances (see TrackingEngine)
+_PROGRAM_CACHE: dict = {}
+
 
 class FastState(NamedTuple):
     """Per-channel carry for the group-batched engine ([C] leading dim)."""
@@ -76,6 +80,15 @@ class FastState(NamedTuple):
     kf_p: jax.Array                # [C,4,4]
     gs_niw: jax.Array              # [C,4] (iter, n, mu, psi) NIW carry
     #                                for loop="gaussian"
+    # pilot secondary-code wipe-off (L5 NH20 / E5a CS100 / E1-C CS25 /
+    # B1I NH20 — dll_pll_veml_tracking.cc save_correlation_results
+    # :1290): period j of a group is multiplied by
+    # sec_signs[c, (sec_phase + j) % sec_len] before coherent group
+    # accumulation; sec_len=1 with sign +1 disables (GPS L1 data case).
+    sec_signs: jax.Array           # f32 [C, S]
+    sec_len: jax.Array             # int32 [C]
+    sec_phase: jax.Array           # int32 [C]: sec index of next period
+    secondary_locked: jax.Array    # bool [C]: wiped -> 4-quadrant PLL
 
 
 class FastTrackingEngine:
@@ -90,7 +103,8 @@ class FastTrackingEngine:
 
     def __init__(self, cfg: TrackingConfig, n_channels: int,
                  groups_per_block: int = 5, correlator: str = "bank",
-                 loop: str = "fllpll", kf_config=None):
+                 loop: str = "fllpll", kf_config=None,
+                 sec_max_len: int = 1):
         if cfg.extend_correlation_symbols < 1:
             raise ValueError("extend_correlation_symbols must be >= 1")
         if correlator not in ("bank", "segsum"):
@@ -129,7 +143,12 @@ class FastTrackingEngine:
         else:
             self.overlap = self.k * spc + self.max_period
         self.n_taps = cfg.n_taps
+        #: max secondary-code length handled on device (NH20=20, CS100=100,
+        #: CS25=25); 1 = no wipe-off (GPS L1 C/A data tracking)
+        self.sec_max_len = int(sec_max_len)
+        self.track_pilot = bool(cfg.track_pilot)
         self._bank_cache: tuple[object, jax.Array] | None = None
+        self._data_bank_cache: tuple[object, jax.Array] | None = None
 
         self._shifts = jnp.asarray(cfg.tap_shifts())
         self._gains = lf.FllPllGains.make(
@@ -139,7 +158,24 @@ class FastTrackingEngine:
             cfg.dll_filter_order, include_last_integrator=False)
         self._dll_ic = jnp.asarray(ic)
         self._dll_oc = jnp.asarray(oc)
-        self._block_step = jax.jit(self._build(), donate_argnums=(0,))
+        # share jitted programs across instances with equal configs (a
+        # fresh receiver otherwise re-traces everything; seconds of host
+        # time even with a warm XLA compile cache). Only cacheable with
+        # the default loop configs (kf_config identity matters otherwise).
+        key = None
+        if kf_config is None:
+            key = (dataclasses.astuple(cfg), n_channels, groups_per_block,
+                   correlator, loop, self.sec_max_len)
+        progs = _PROGRAM_CACHE.get(key) if key is not None else None
+        if progs is None:
+            block_step = jax.jit(self._build(), donate_argnums=(0,))
+            progs = (block_step, self._superblock_step,
+                     self._superblock_step_i8, self._superblock_ring_i8,
+                     jax.jit(self._start_channel_impl))
+            if key is not None:
+                _PROGRAM_CACHE[key] = progs
+        (self._block_step, self._superblock_step, self._superblock_step_i8,
+         self._superblock_ring_i8, self._start_channel_jit) = progs
 
     # -- state ------------------------------------------------------------
     def _kf_p0(self) -> np.ndarray:
@@ -183,6 +219,10 @@ class FastTrackingEngine:
             kf_x=jnp.zeros((c, 4), dtype=jnp.float32),
             kf_p=jnp.broadcast_to(jnp.asarray(self._kf_p0()), (c, 4, 4)),
             gs_niw=self._gs_niw0((c,)),
+            sec_signs=jnp.ones((c, self.sec_max_len), dtype=jnp.float32),
+            sec_len=jnp.ones((c,), dtype=jnp.int32),
+            sec_phase=jnp.zeros((c,), dtype=jnp.int32),
+            secondary_locked=jnp.zeros((c,), dtype=bool),
         )
 
     def from_track_state(self, ts: TrackState) -> FastState:
@@ -217,23 +257,37 @@ class FastTrackingEngine:
                 jnp.asarray(self._kf_p0()),
                 ts.carrier_doppler_hz.shape + (4, 4)),
             gs_niw=self._gs_niw0(ts.carrier_doppler_hz.shape),
+            sec_signs=jnp.ones(ts.carrier_doppler_hz.shape
+                               + (self.sec_max_len,), dtype=jnp.float32),
+            sec_len=jnp.ones(ts.carrier_doppler_hz.shape, dtype=jnp.int32),
+            sec_phase=jnp.zeros(ts.carrier_doppler_hz.shape,
+                                dtype=jnp.int32),
+            secondary_locked=jnp.zeros(ts.carrier_doppler_hz.shape,
+                                       dtype=bool),
         )
 
     def start_channel(self, state: FastState, ch: int, doppler_hz: float,
                       offset_samples: int,
                       if_freq_hz: float = 0.0) -> FastState:
-        cfg = self.cfg
+        """One jitted program (ch traced) — see TrackingEngine.start_channel
+        for why the eager .at[].set chain is too slow at cold start."""
+        return self._start_channel_jit(
+            state, jnp.int32(ch), jnp.float32(doppler_hz),
+            jnp.int32(offset_samples), jnp.float32(if_freq_hz))
+
+    def _start_channel_impl(self, state: FastState, ch, doppler_hz,
+                            offset_samples, if_freq_hz) -> FastState:
         if self._gains.order == 3:
-            w0, x0 = 0.0, 2.0 * doppler_hz
+            w0, x0 = jnp.float32(0.0), 2.0 * doppler_hz
         else:
-            w0, x0 = doppler_hz, 0.0
+            w0, x0 = doppler_hz, jnp.float32(0.0)
         return state._replace(
             active=state.active.at[ch].set(True),
-            offset=state.offset.at[ch].set(int(offset_samples)),
+            offset=state.offset.at[ch].set(offset_samples),
             rem_code_phase_samples=state.rem_code_phase_samples.at[ch].set(0.0),
             rem_carr_phase_rad=state.rem_carr_phase_rad.at[ch].set(0.0),
             carrier_doppler_hz=state.carrier_doppler_hz.at[ch].set(doppler_hz),
-            if_freq_hz=state.if_freq_hz.at[ch].set(float(if_freq_hz)),
+            if_freq_hz=state.if_freq_hz.at[ch].set(if_freq_hz),
             code_doppler_chips=state.code_doppler_chips.at[ch].set(0.0),
             carr_w=state.carr_w.at[ch].set(w0),
             carr_x=state.carr_x.at[ch].set(x0),
@@ -242,6 +296,33 @@ class FastTrackingEngine:
                 jnp.zeros((4,), jnp.float32).at[2].set(doppler_hz)),
             kf_p=state.kf_p.at[ch].set(jnp.asarray(self._kf_p0())),
             gs_niw=state.gs_niw.at[ch].set(self._gs_niw0(())),
+            sec_signs=state.sec_signs.at[ch].set(1.0),
+            sec_len=state.sec_len.at[ch].set(1),
+            sec_phase=state.sec_phase.at[ch].set(0),
+            secondary_locked=state.secondary_locked.at[ch].set(False),
+        )
+
+    def set_secondary(self, state: FastState, ch: int, code: str,
+                      phase: int) -> FastState:
+        """Enable pilot secondary-code wipe-off for a channel: ``code`` is
+        the "0"/"1" secondary sequence (NH20, CS100, ...), ``phase`` the
+        secondary index of the channel's NEXT period. Switches the PLL to
+        the four-quadrant discriminator (d_cloop=false in run_dll_pll,
+        dll_pll_veml_tracking.cc:1110)."""
+        signs = np.asarray([1.0 if c in "0+" else -1.0 for c in code],
+                           dtype=np.float32)
+        if signs.shape[0] > self.sec_max_len:
+            raise ValueError(
+                f"secondary length {signs.shape[0]} > engine sec_max_len "
+                f"{self.sec_max_len}")
+        padded = np.ones((self.sec_max_len,), dtype=np.float32)
+        padded[:signs.shape[0]] = signs
+        return state._replace(
+            sec_signs=state.sec_signs.at[ch].set(jnp.asarray(padded)),
+            sec_len=state.sec_len.at[ch].set(int(signs.shape[0])),
+            sec_phase=state.sec_phase.at[ch].set(
+                int(phase) % signs.shape[0]),
+            secondary_locked=state.secondary_locked.at[ch].set(True),
         )
 
     # -- code bank (bank correlator) ----------------------------------------
@@ -259,29 +340,45 @@ class FastTrackingEngine:
         # id() cannot be recycled by the allocator while the entry lives
         if self._bank_cache is not None and self._bank_cache[0] is code_tables:
             return self._bank_cache[1]
+        out = jnp.asarray(self._build_bank(
+            code_tables, np.asarray(self._shifts, dtype=np.float64)))
+        self._bank_cache = (code_tables, out)
+        return out
+
+    def _get_data_bank(self, data_code_tables) -> jax.Array:
+        """[C, P+1, 1, win_len] single-prompt bank for the data-component
+        code (d_correlator_data role, dll_pll_veml_tracking.cc:1064-1090):
+        same NCO trajectory as the pilot, one tap at zero shift."""
+        if self._data_bank_cache is not None \
+                and self._data_bank_cache[0] is data_code_tables:
+            return self._data_bank_cache[1]
+        out = jnp.asarray(self._build_bank(
+            data_code_tables, np.zeros((1,), dtype=np.float64)))
+        self._data_bank_cache = (data_code_tables, out)
+        return out
+
+    def _build_bank(self, code_tables, shifts: np.ndarray) -> np.ndarray:
         cfg = self.cfg
         tables = np.asarray(code_tables, dtype=np.float32)
         c, table_len = tables.shape
         p_phases = self.BANK_PHASES
+        n_taps = shifts.shape[0]
         # nominal code period in samples (exact fs/chip-rate ratio)
         t_nom = cfg.code_length_chips / (cfg.chip_rate_cps / cfg.fs)
         code_step_table = (cfg.chip_rate_cps / cfg.fs
                            * cfg.code_samples_per_chip)
-        shifts = np.asarray(self._shifts, dtype=np.float64)
         ll = np.arange(self.win_len, dtype=np.float64)
-        bank = np.zeros((c, p_phases + 1, self.n_taps, self.win_len),
+        bank = np.zeros((c, p_phases + 1, n_taps, self.win_len),
                         dtype=np.float32)
         for p in range(p_phases + 1):
             q = p / p_phases
             support = ll < (round(t_nom) + (1 if q > 0 else 0))
-            for t in range(self.n_taps):
+            for t in range(n_taps):
                 idx = np.floor((ll - q) * code_step_table
                                + shifts[t]).astype(np.int64) % table_len
                 rows = tables[:, idx] * support[None, :].astype(np.float32)
                 bank[:, p, t, :] = rows
-        out = jnp.asarray(bank)
-        self._bank_cache = (code_tables, out)
-        return out
+        return bank
 
     # -- device program ----------------------------------------------------
     def _build(self):
@@ -317,15 +414,29 @@ class FastTrackingEngine:
         half_t_over_f0 = jnp.float32(0.5 * t_nom_f64 / cfg.chip_rate_cps)
 
         def close_loops(s, process, t_frac, starts, rems,
-                        corr_re, corr_im):
+                        corr_re, corr_im, data_re=None, data_im=None):
             """Shared post-correlation path: group accumulation,
             DLL/PLL closure, carry, C/N0/locks, outputs. ``t_frac`` is the
             per-channel fractional part of the period length (period =
-            t_int + t_frac samples)."""
+            t_int + t_frac samples). ``data_re/im`` are per-period
+            data-component prompts [C, K] (track_pilot), else None."""
             # NCO step includes the per-channel IF (FDMA slot); outputs
             # report Doppler-only phase increments
             step = jnp.float32(TWO_PI) * (s.carrier_doppler_hz
                                           + s.if_freq_hz) / fs         # [C]
+            # pilot secondary-code wipe-off before coherent accumulation
+            # (save_correlation_results, dll_pll_veml_tracking.cc:1290):
+            # period j's sign is sec_signs[(sec_phase + j) % sec_len]
+            if self.sec_max_len > 1:
+                jj = jnp.arange(k_ext, dtype=jnp.int32)                # [K]
+                sec_idx = jnp.mod(s.sec_phase[:, None] + jj[None, :],
+                                  s.sec_len[:, None])                  # [C,K]
+                signs = jnp.take_along_axis(s.sec_signs, sec_idx, axis=1)
+                corr_re = corr_re * signs[:, :, None]
+                corr_im = corr_im * signs[:, :, None]
+                new_sec_phase = jnp.mod(s.sec_phase + k_ext, s.sec_len)
+            else:
+                new_sec_phase = s.sec_phase
             # group-coherent accumulation (bit-aligned)
             g_re = jnp.sum(corr_re, axis=1)                            # [C,T]
             g_im = jnp.sum(corr_im, axis=1)
@@ -333,7 +444,13 @@ class FastTrackingEngine:
             ep_im = g_im[:, prompt_tap]
 
             # ---- loop closure (extended-mode semantics) -----------------
-            pll_rad = disc.pll_cloop_two_quadrant_atan(ep_re, ep_im)
+            # secondary-locked pilots run the four-quadrant discriminator
+            # (no Costas ambiguity once the secondary is wiped,
+            # run_dll_pll d_cloop=false)
+            pll_rad = jnp.where(
+                s.secondary_locked,
+                disc.pll_four_quadrant_atan(ep_re, ep_im),
+                disc.pll_cloop_two_quadrant_atan(ep_re, ep_im))
             pll_hz = pll_rad / TWO_PI
             if cfg.veml:
                 dll_d = disc.dll_nc_vemlp_normalized(
@@ -481,6 +598,9 @@ class FastTrackingEngine:
                 carrier_lock_fail=jnp.where(loss, 0, cfail),
                 loss_of_lock=s.loss_of_lock | (loss & s.active),
                 kf_x=kf_x, kf_p=kf_p, gs_niw=gs_niw,
+                sec_signs=s.sec_signs, sec_len=s.sec_len,
+                sec_phase=new_sec_phase,
+                secondary_locked=s.secondary_locked,
             )
 
             def sel(a_new, a_old):
@@ -494,6 +614,12 @@ class FastTrackingEngine:
             dopp_out = jnp.where(process, carrier_doppler,
                                  s.carrier_doppler_hz)
             cn0_out = jnp.where(process, cn0_s, s.cn0_db_hz)
+            # data-component per-period prompts (the decoder's symbol
+            # source on pilot-tracked bands); == pilot prompts otherwise
+            dp_re = data_re if data_re is not None \
+                else corr_re[:, :, prompt_tap]
+            dp_im = data_im if data_im is not None \
+                else corr_im[:, :, prompt_tap]
             outputs = dict(
                 valid=process,
                 group_start=s.offset,
@@ -502,6 +628,7 @@ class FastTrackingEngine:
                 prompt_re=ep_re, prompt_im=ep_im,
                 period_prompt_re=corr_re[:, :, prompt_tap],
                 period_prompt_im=corr_im[:, :, prompt_tap],
+                period_data_re=dp_re, period_data_im=dp_im,
                 carrier_doppler_hz=dopp_out,
                 code_freq_chips=chip_rate
                 + jnp.where(process, code_dop, s.code_doppler_chips),
@@ -509,14 +636,16 @@ class FastTrackingEngine:
                                               0.0),
                 cn0_db_hz=cn0_out,
                 loss_of_lock=merged.loss_of_lock,
-                # one flat per-group record [C, 3K+4] so the production
+                # one flat per-group record [C, 5K+4] so the production
                 # host path fetches a SINGLE device array per superblock
                 # (each device->host read is a round trip on a remote
-                # accelerator): starts | rems | prompts | dopp cn0 valid
-                # loss. Block-relative starts stay < 2^24, exact in f32.
+                # accelerator): starts | rems | prompts | data_re |
+                # data_im | dopp cn0 valid loss. Block-relative starts
+                # stay < 2^24, exact in f32.
                 packed=jnp.concatenate([
                     starts.astype(jnp.float32), rems,
                     corr_re[:, :, prompt_tap],
+                    dp_re, dp_im,
                     dopp_out[:, None], cn0_out[:, None],
                     process.astype(jnp.float32)[:, None],
                     merged.loss_of_lock.astype(jnp.float32)[:, None],
@@ -524,7 +653,8 @@ class FastTrackingEngine:
             )
             return merged, outputs
 
-        def group_body(carry, _, block_re, block_im, code_tables):
+        def group_body(carry, _, block_re, block_im, code_tables,
+                       data_code_tables=None):
             s: FastState = carry
             process = s.active & (s.offset < block_samples) \
                 & (~s.loss_of_lock)
@@ -594,8 +724,18 @@ class FastTrackingEngine:
 
                 corr_re = _interp(all_re)
                 corr_im = _interp(all_im)
+                data_re = data_im = None
+                if data_code_tables is not None:
+                    # data-component prompt: same rotated windows, the
+                    # data PRN code's single-tap bank
+                    db = data_code_tables                  # [C,P+1,1,L]
+                    d_all_re = jnp.einsum("ckl,cptl->ckpt", rot_re, db)
+                    d_all_im = jnp.einsum("ckl,cptl->ckpt", rot_im, db)
+                    data_re = _interp(d_all_re)[:, :, 0]   # [C,K]
+                    data_im = _interp(d_all_im)[:, :, 0]
                 return close_loops(s, process, t_frac, starts,
-                                   rems, corr_re, corr_im)
+                                   rems, corr_re, corr_im,
+                                   data_re, data_im)
 
             # ---- segmented-sum correlation ------------------------------
             # The per-sample code-table gather is the TPU bottleneck
@@ -668,14 +808,28 @@ class FastTrackingEngine:
             corr_re = jnp.einsum("ctkq,cq->ckt", core_re, code_tables)
             corr_im = jnp.einsum("ctkq,cq->ckt", core_im, code_tables)
 
+            data_re = data_im = None
+            if data_code_tables is not None:
+                # data prompt from the prompt tap's chip sums against the
+                # data PRN code (same NCO, zero shift)
+                data_re = jnp.einsum("ckq,cq->ck",
+                                     core_re[:, prompt_tap],
+                                     data_code_tables)
+                data_im = jnp.einsum("ckq,cq->ck",
+                                     core_im[:, prompt_tap],
+                                     data_code_tables)
             return close_loops(s, process, t_frac, starts, rems,
-                               corr_re, corr_im)
+                               corr_re, corr_im, data_re, data_im)
 
 
-        def block_step(state: FastState, block_re, block_im, code_tables):
+        track_pilot = self.track_pilot
+
+        def _block_run(state, block_re, block_im, code_tables,
+                       data_code_tables):
             body = functools.partial(group_body, block_re=block_re,
                                      block_im=block_im,
-                                     code_tables=code_tables)
+                                     code_tables=code_tables,
+                                     data_code_tables=data_code_tables)
             state, outputs = jax.lax.scan(
                 lambda c, xs: body(c, xs), state, None, length=self.g)
             state = state._replace(
@@ -683,31 +837,101 @@ class FastTrackingEngine:
                                  state.offset - block_samples, state.offset))
             return state, outputs
 
-        def superblock_step(state, blocks_re, blocks_im, code_tables):
-            def outer(carry, blk):
-                return block_step(carry, blk[0], blk[1], code_tables)
+        if track_pilot:
+            def block_step(state, block_re, block_im, code_tables,
+                           data_code_tables):
+                return _block_run(state, block_re, block_im, code_tables,
+                                  data_code_tables)
 
-            return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+            def superblock_step(state, blocks_re, blocks_im, code_tables,
+                                data_code_tables):
+                def outer(carry, blk):
+                    return block_step(carry, blk[0], blk[1], code_tables,
+                                      data_code_tables)
 
-        def superblock_step_i8(state, blocks_i8, code_tables):
-            # int8 ingest: every loop quantity downstream of the
-            # correlator is a normalized ratio (E-L envelopes, atan
-            # discriminators, M2M4 C/N0, lock tests), so a common input
-            # scale factor cancels — the device just widens to f32. The
-            # re/im planes travel STACKED in one array ([2, B, L]):
-            # host->device transfers carry a large fixed latency on a
-            # remote accelerator, so one upload per superblock, not two.
-            return superblock_step(state,
-                                   blocks_i8[0].astype(jnp.float32),
-                                   blocks_i8[1].astype(jnp.float32),
-                                   code_tables)
+                return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+
+            def superblock_step_i8(state, blocks_i8, code_tables,
+                                   data_code_tables):
+                return superblock_step(state,
+                                       blocks_i8[0].astype(jnp.float32),
+                                       blocks_i8[1].astype(jnp.float32),
+                                       code_tables, data_code_tables)
+
+            def superblock_ring_i8(state, ring_i8, base, n_blocks,
+                                   code_tables, data_code_tables):
+                def outer(carry, b):
+                    lo = base + b * block_samples
+                    blk_re = jax.lax.dynamic_slice(
+                        ring_i8[0], (lo,), (total,)).astype(jnp.float32)
+                    blk_im = jax.lax.dynamic_slice(
+                        ring_i8[1], (lo,), (total,)).astype(jnp.float32)
+                    return block_step(carry, blk_re, blk_im, code_tables,
+                                      data_code_tables)
+
+                return jax.lax.scan(outer, state,
+                                    jnp.arange(n_blocks, dtype=jnp.int32))
+        else:
+            def block_step(state, block_re, block_im, code_tables):
+                return _block_run(state, block_re, block_im, code_tables,
+                                  None)
+
+            def superblock_step(state, blocks_re, blocks_im, code_tables):
+                def outer(carry, blk):
+                    return block_step(carry, blk[0], blk[1], code_tables)
+
+                return jax.lax.scan(outer, state, (blocks_re, blocks_im))
+
+            def superblock_step_i8(state, blocks_i8, code_tables):
+                # int8 ingest: every loop quantity downstream of the
+                # correlator is a normalized ratio (E-L envelopes, atan
+                # discriminators, M2M4 C/N0, lock tests), so a common
+                # input scale factor cancels — the device just widens to
+                # f32. The re/im planes travel STACKED in one array
+                # ([2, B, L]): host->device transfers carry a large fixed
+                # latency on a remote accelerator, so one upload per
+                # superblock, not two.
+                return superblock_step(state,
+                                       blocks_i8[0].astype(jnp.float32),
+                                       blocks_i8[1].astype(jnp.float32),
+                                       code_tables)
+
+            def superblock_ring_i8(state, ring_i8, base, n_blocks,
+                                   code_tables):
+                # Device-resident input: the capture (or staging ring)
+                # lives on the device as planar int8 [2, L]; each block
+                # slices itself from a traced base offset. Per-call
+                # host->device uploads interleaved with the
+                # compute+download pipeline stall the (tunneled) transfer
+                # engine — measured 3x end-to-end loss — so the
+                # production receiver uploads the stream once.
+                def outer(carry, b):
+                    lo = base + b * block_samples
+                    blk_re = jax.lax.dynamic_slice(
+                        ring_i8[0], (lo,), (total,)).astype(jnp.float32)
+                    blk_im = jax.lax.dynamic_slice(
+                        ring_i8[1], (lo,), (total,)).astype(jnp.float32)
+                    return block_step(carry, blk_re, blk_im, code_tables)
+
+                return jax.lax.scan(outer, state,
+                                    jnp.arange(n_blocks, dtype=jnp.int32))
 
         self._superblock_step = jax.jit(superblock_step, donate_argnums=(0,))
         self._superblock_step_i8 = jax.jit(superblock_step_i8,
                                            donate_argnums=(0,))
+        self._superblock_ring_i8 = jax.jit(
+            superblock_ring_i8, donate_argnums=(0,), static_argnums=(3,))
         return block_step
 
-    def process_block(self, state, block_re, block_im, code_tables):
+    def process_block(self, state, block_re, block_im, code_tables,
+                      data_code_tables=None):
         if self.correlator == "bank":
             code_tables = self._get_bank(code_tables)
+            if data_code_tables is not None:
+                data_code_tables = self._get_data_bank(data_code_tables)
+        if self.track_pilot:
+            if data_code_tables is None:
+                raise ValueError("track_pilot engine needs data_code_tables")
+            return self._block_step(state, block_re, block_im, code_tables,
+                                    data_code_tables)
         return self._block_step(state, block_re, block_im, code_tables)
