@@ -13,6 +13,8 @@ Baseline: the reference claims real-time processing on a desktop CPU
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -184,6 +186,15 @@ def main() -> None:
     steady = tm["phase_b_samples"] / tm["phase_b_s"] \
         if tm["phase_b_s"] > 0 else 0.0
 
+    # --- multi-constellation kernel load (SURVEY 2.10 channel-axis
+    # story): five bands' fast engines back-to-back on one chip — 44
+    # channels of mixed signals, aggregate IF throughput ------------------
+    multi = _multi_constellation_bench()
+
+    # --- 2-process scaling efficiency (SURVEY 7.7 harness): gloo CPU
+    # mesh, one collective per superblock -------------------------------
+    mp_eff = _multiprocess_scaling_bench()
+
     print(json.dumps({
         "metric": "GPS L1 C/A 12-channel tracking + batched acquisition, "
                   "IF samples/s/chip",
@@ -197,7 +208,148 @@ def main() -> None:
         "e2e_in_fast_mode": rec.in_fast_mode,
         "tracking_48ch_samples_per_s": round(big_value, 1),
         "channel_scaling_efficiency_48v12": round(scaling_eff, 3),
+        "multiconstellation_44ch_samples_per_s": round(multi, 1),
+        "multiconstellation_44ch_vs_realtime": round(
+            multi / (12 * 4e6 + 8 * 4e6 + 8 * 12e6 + 8 * 4e6 + 8 * 4e6),
+            3),
+        "multiprocess_2p_efficiency_cpu": mp_eff,
     }))
+
+
+def _multi_constellation_bench() -> float:
+    """Aggregate steady-state throughput of 5 bands' fast engines on one
+    chip: GPS L1 (12ch) + Galileo E1 (8) + GPS L5 (8, pilot) + BeiDou
+    B1I (8) + GLONASS L1 (8, FDMA IFs) = 44 mixed channels."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnss_sdr_tpu.codes import gps_l1ca_code
+    from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
+    from gnss_sdr_tpu.codes.galileo_e1 import galileo_e1_subchips
+    from gnss_sdr_tpu.codes.glonass_l1ca import glonass_l1ca_code
+    from gnss_sdr_tpu.codes.gps_l5 import gps_l5i_code, gps_l5q_code
+    from gnss_sdr_tpu.tracking import TrackingConfig
+    from gnss_sdr_tpu.tracking.fast_engine import FastTrackingEngine
+
+    rng = np.random.default_rng(0)
+    bands = []  # (engine, state, args) per band
+
+    def add(engine, codes, data_codes=None, if_freqs=None):
+        nb = 5
+        fb = engine.block_samples
+        n_in = fb + engine.overlap
+        cap = rng.integers(-30, 30, size=(2, nb * fb + n_in), dtype=np.int8)
+        ring = jax.device_put(cap)
+        bank = engine._get_bank(jnp.asarray(codes))
+        args = [ring, jnp.int32(0), nb, bank]
+        if data_codes is not None:
+            args.append(engine._get_data_bank(jnp.asarray(data_codes)))
+        state = engine.init_state()
+        for ch in range(engine.n_channels):
+            state = engine.start_channel(
+                state, ch, 200.0 * ch - 800.0, 31 * ch,
+                if_freq_hz=(if_freqs[ch] if if_freqs else 0.0))
+        bands.append([engine, state, args, nb * fb])
+
+    l1 = TrackingConfig(fs=4e6, extend_correlation_symbols=20,
+                        pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75)
+    add(FastTrackingEngine(l1, 12, groups_per_block=5),
+        np.stack([np.asarray(gps_l1ca_code(p + 1), np.float32)
+                  for p in range(12)]))
+    e1 = TrackingConfig(fs=4e6, code_length_chips=4092,
+                        chip_rate_cps=1.023e6, code_samples_per_chip=12,
+                        veml=True, extend_correlation_symbols=1,
+                        pll_bw_narrow_hz=15.0, dll_bw_narrow_hz=1.0,
+                        early_late_space_chips=0.15,
+                        very_early_late_space_chips=0.6)
+    add(FastTrackingEngine(e1, 8, groups_per_block=25),
+        np.stack([galileo_e1_subchips(p + 1, "B", True).astype(np.float32)
+                  for p in range(8)]))
+    l5 = TrackingConfig(fs=12e6, code_length_chips=10230,
+                        chip_rate_cps=10.23e6, carrier_hz=1176.45e6,
+                        track_pilot=True, extend_correlation_symbols=20,
+                        pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75,
+                        early_late_space_chips=1.0)
+    add(FastTrackingEngine(l5, 8, groups_per_block=5, sec_max_len=20),
+        np.stack([np.asarray(gps_l5q_code(p + 1), np.float32)
+                  for p in range(8)]),
+        data_codes=np.stack([np.asarray(gps_l5i_code(p + 1), np.float32)
+                             for p in range(8)]))
+    b1 = TrackingConfig(fs=4e6, code_length_chips=2046,
+                        chip_rate_cps=2.046e6, carrier_hz=1561.098e6,
+                        extend_correlation_symbols=20,
+                        pll_bw_narrow_hz=5.0, dll_bw_narrow_hz=0.75)
+    add(FastTrackingEngine(b1, 8, groups_per_block=5, sec_max_len=20),
+        np.stack([np.asarray(beidou_b1i_code(p + 1), np.float32)
+                  for p in range(8)]))
+    glo = TrackingConfig(fs=4e6, code_length_chips=511,
+                         chip_rate_cps=0.511e6, carrier_hz=1602.0e6,
+                         extend_correlation_symbols=1,
+                         pll_bw_narrow_hz=15.0, dll_bw_narrow_hz=1.0)
+    add(FastTrackingEngine(glo, 8, groups_per_block=100),
+        np.stack([np.asarray(glonass_l1ca_code(), np.float32)] * 8),
+        if_freqs=[(k - 4) * 562_500.0 for k in range(8)])
+
+    def one_pass():
+        outs = []
+        for b in bands:
+            engine, state, args, _ = b
+            state, out = engine._superblock_ring_i8(state, *args)
+            b[1] = state
+            outs.append(out["packed"])
+        return outs
+
+    jax.block_until_ready(one_pass())
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        outs = one_pass()
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return reps * sum(b[3] for b in bands) / dt
+
+
+def _multiprocess_scaling_bench() -> float | None:
+    """Weak-scaling efficiency of the fast-engine superblock kernel on a
+    2-process gloo CPU mesh (per-process throughput at nproc=2 / nproc=1)
+    — the SURVEY 7.7 multi-host harness; CPU backend (one physical TPU
+    chip is available, so this validates the scaling path, not chip
+    count)."""
+    import subprocess
+    import tempfile
+
+    def run(nproc: int) -> float | None:
+        with tempfile.TemporaryDirectory() as td:
+            procs = []
+            for pid in range(nproc):
+                env = dict(os.environ)
+                env.update(JAX_PLATFORMS="cpu",
+                           XLA_FLAGS="--xla_force_host_platform_device_count=1")
+                env.pop("JAX_NUM_CPU_DEVICES", None)
+                procs.append(subprocess.Popen(
+                    [sys.executable, "-m",
+                     "gnss_sdr_tpu.utils.bench_mp_worker",
+                     str(pid), str(nproc), "127.0.0.1:37311", td],
+                    env=env, stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL))
+            try:
+                for p in procs:
+                    p.wait(timeout=600)
+            except subprocess.TimeoutExpired:
+                for p in procs:
+                    p.kill()
+                return None
+            path = os.path.join(td, f"bench_mp_{nproc}.json")
+            if not os.path.exists(path):
+                return None
+            with open(path) as fh:
+                return json.load(fh)["samples_per_s_per_proc"]
+
+    one = run(1)
+    two = run(2)
+    if one is None or two is None or one <= 0:
+        return None
+    return round(two / one, 3)
 
 
 if __name__ == "__main__":

@@ -89,7 +89,16 @@ def make_galileo_e1_acquisition(
     cboc: bool = True,
     **overrides,
 ) -> PcpsAcquisition:
-    """Galileo E1 PCPS acquisition (4 ms coherent by default)."""
+    """Galileo E1 PCPS acquisition (4 ms coherent by default).
+
+    Two-step fine Doppler is ON by default: with 4 ms coherent periods
+    the pull-in FLL's unambiguous range is +-1/(4T) = +-62.5 Hz, exactly
+    the worst-case error of a 125 Hz coarse grid — a handoff sitting on
+    the basin boundary false-locks the carrier at a 125 Hz offset (data
+    symbols then flip every period; prompt amplitude drops by sinc(1/2)
+    and I/NAV never decodes). The +-15 Hz two-step residual is safely
+    inside the basin (Acq_Conf::make_2_steps, acq_conf.h:74;
+    pcps_acquisition.cc:697-771)."""
     if config is not None:
         cfg = acq_config_from(config, role, fs, "1B")
     else:
@@ -101,6 +110,9 @@ def make_galileo_e1_acquisition(
             ms_per_code=4,
             sampled_ms=4,
             doppler_step=125.0,
+            make_2_steps=True,
+            doppler_step2=31.25,
+            num_doppler_bins_step2=8,
         )
     for key, value in overrides.items():
         setattr(cfg, key, value)

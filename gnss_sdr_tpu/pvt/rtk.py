@@ -247,12 +247,22 @@ class RtkEngine:
     # -- epoch --------------------------------------------------------------
 
     def process_epoch(self, rover: dict, base: dict,
-                      sat_pos: dict) -> RtkSolution | None:
+                      sat_pos: dict,
+                      sat_pos_base: dict | None = None) -> RtkSolution | None:
         """rover/base: prn -> (pseudorange_m, carrier_phase_cycles);
-        sat_pos: prn -> ECEF position at transmit time (common geometry —
-        short-baseline assumption). Returns the epoch solution."""
+        sat_pos: prn -> ECEF position at the ROVER measurement's transmit
+        time. ``sat_pos_base`` optionally gives positions at the BASE
+        measurement's transmit time: real receiver pairs sample at
+        different true times (their clock biases differ by up to ms), and
+        the differential range-rate across satellites turns that offset
+        into meters of DD bias unless each leg uses its own geometry
+        (rtklib satposs evaluates per-measurement transmit times).
+        Returns the epoch solution."""
         cfg = self.cfg
-        common = sorted(set(rover) & set(base) & set(sat_pos))
+        if sat_pos_base is None:
+            sat_pos_base = sat_pos
+        common = sorted(set(rover) & set(base) & set(sat_pos)
+                        & set(sat_pos_base))
         if len(common) < cfg.min_sats:
             return None
         # reference satellite: highest elevation proxy = largest Z in ENU?
@@ -289,8 +299,9 @@ class RtkEngine:
             e_r = self._unit_vectors(sat_pos, rx)
             rho_r = {p: np.linalg.norm(np.asarray(sat_pos[p]) - rx)
                      for p in common}
-            rho_b = {p: np.linalg.norm(np.asarray(sat_pos[p]) - self.base_pos)
-                     for p in common}
+            rho_b = {p: np.linalg.norm(
+                np.asarray(sat_pos_base[p]) - self.base_pos)
+                for p in common}
             # predicted SD geometry
             sd_geo = {p: rho_r[p] - rho_b[p] for p in common}
             z = []

@@ -25,8 +25,7 @@ SUPPORTED_SOURCES = {
     "Custom_UDP_Signal_Source",
 }
 # every name in the acquisition registry instantiates standalone via
-# acquisition.adapters.make_acquisition; the full-receiver chain is GPS L1
-# this round (the _check below gates what `make_receiver` wires end-to-end)
+# acquisition.adapters.make_acquisition
 from gnss_sdr_tpu.acquisition.adapters import (  # noqa: E402
     ACQ_IMPLEMENTATIONS as SUPPORTED_ACQ_STANDALONE)
 
@@ -37,6 +36,53 @@ SUPPORTED_TRK = {"GPS_L1_CA_DLL_PLL_Tracking"}
 SUPPORTED_TLM = {"GPS_L1_CA_Telemetry_Decoder"}
 SUPPORTED_OBS = {"Hybrid_Observables"}
 SUPPORTED_PVT = {"RTKLIB_PVT"}
+
+# Per-signal-suffix implementation names the multi-band receiver chain
+# accepts end-to-end (reference factory registry,
+# gnss_block_factory.cc:637-1330): suffix -> (acquisition names,
+# tracking names, telemetry names, default satellite list).
+_GLONASS_SATS = list(range(1, 25))
+BAND_REGISTRY: dict[str, tuple[set, set, set, list[int]]] = {
+    "1C": ({"GPS_L1_CA_PCPS_Acquisition",
+            "GPS_L1_CA_PCPS_Assisted_Acquisition",
+            "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler"},
+           {"GPS_L1_CA_DLL_PLL_Tracking", "GPS_L1_CA_KF_Tracking",
+            "GPS_L1_CA_Gaussian_Tracking"},
+           {"GPS_L1_CA_Telemetry_Decoder"}, list(range(1, 33))),
+    "2S": ({"GPS_L2_M_PCPS_Acquisition"},
+           {"GPS_L2_M_DLL_PLL_Tracking"},
+           {"GPS_L2C_Telemetry_Decoder"}, list(range(1, 33))),
+    "L5": ({"GPS_L5i_PCPS_Acquisition"},
+           {"GPS_L5_DLL_PLL_Tracking"},
+           {"GPS_L5_Telemetry_Decoder"}, list(range(1, 33))),
+    "1B": ({"Galileo_E1_PCPS_Ambiguous_Acquisition"},
+           {"Galileo_E1_DLL_PLL_VEML_Tracking"},
+           {"Galileo_E1B_Telemetry_Decoder"}, list(range(1, 37))),
+    "5X": ({"Galileo_E5a_Pcps_Acquisition",
+            "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF"},
+           {"Galileo_E5a_DLL_PLL_Tracking"},
+           {"Galileo_E5a_Telemetry_Decoder"}, list(range(1, 37))),
+    "7X": ({"Galileo_E5b_PCPS_Acquisition"},
+           {"Galileo_E5b_DLL_PLL_Tracking"},
+           {"Galileo_E5b_Telemetry_Decoder"}, list(range(1, 37))),
+    "E6": ({"Galileo_E6_PCPS_Acquisition"},
+           {"Galileo_E6_DLL_PLL_Tracking"},
+           {"Galileo_E6_Telemetry_Decoder"}, list(range(1, 37))),
+    "1G": ({"GLONASS_L1_CA_PCPS_Acquisition"},
+           {"GLONASS_L1_CA_DLL_PLL_Tracking",
+            "GLONASS_L1_CA_DLL_PLL_C_Aid_Tracking"},
+           {"GLONASS_L1_CA_Telemetry_Decoder"}, _GLONASS_SATS),
+    "2G": ({"GLONASS_L2_CA_PCPS_Acquisition"},
+           {"GLONASS_L2_CA_DLL_PLL_Tracking",
+            "GLONASS_L2_CA_DLL_PLL_C_Aid_Tracking"},
+           {"GLONASS_L2_CA_Telemetry_Decoder"}, _GLONASS_SATS),
+    "B1": ({"BEIDOU_B1I_PCPS_Acquisition"},
+           {"BEIDOU_B1I_DLL_PLL_Tracking"},
+           {"BEIDOU_B1I_Telemetry_Decoder"}, list(range(1, 38))),
+    "B3": ({"BEIDOU_B3I_PCPS_Acquisition"},
+           {"BEIDOU_B3I_DLL_PLL_Tracking"},
+           {"BEIDOU_B3I_Telemetry_Decoder"}, list(range(1, 38))),
+}
 
 
 def _check(name: str, value: str, supported: set[str]) -> None:
@@ -90,8 +136,112 @@ def make_signal_source(config: Configuration):
     )
 
 
+def _configured_suffixes(config: Configuration) -> list[str]:
+    """Signal suffixes with ``Channels_XX.count > 0`` (the reference's
+    channel-group convention, gnss_block_factory.cc:183-210)."""
+    out = []
+    for sx in BAND_REGISTRY:
+        if int(config.property(f"Channels_{sx}.count", 0)) > 0:
+            out.append(sx)
+    return out
+
+
+def _parse_freq_slots(text: str) -> dict[int, int]:
+    """``"1:-4,2:5"``-style satellite->FDMA-channel map."""
+    slots: dict[int, int] = {}
+    for part in text.replace(";", ",").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        prn, k = part.split(":")
+        slots[int(prn)] = int(k)
+    return slots
+
+
+def make_band_config(config: Configuration, sx: str):
+    """One band's :class:`BandConfig` from ``Acquisition_XX`` /
+    ``Tracking_XX`` / ``Channels_XX`` keys."""
+    from gnss_sdr_tpu.receiver.multiband import BandConfig
+
+    acqs, trks, tlms, default_sats = BAND_REGISTRY[sx]
+    _check(f"Acquisition_{sx}",
+           config.property(f"Acquisition_{sx}.implementation", ""), acqs)
+    _check(f"Tracking_{sx}",
+           config.property(f"Tracking_{sx}.implementation", ""), trks)
+    _check(f"TelemetryDecoder_{sx}",
+           config.property(f"TelemetryDecoder_{sx}.implementation", ""),
+           tlms)
+    sats_text = config.property(f"Channels_{sx}.satellites", "")
+    satellites = ([int(s) for s in sats_text.replace(";", ",").split(",")]
+                  if sats_text else list(default_sats))
+    fs = config.property(f"SignalSource_{sx}.sampling_frequency", None)
+    return BandConfig(
+        suffix=sx,
+        fs=float(fs) if fs is not None else None,
+        satellites=satellites,
+        n_channels=int(config.property(f"Channels_{sx}.count", 4)),
+        doppler_max=float(config.property(
+            f"Acquisition_{sx}.doppler_max", 5000)),
+        doppler_step=float(config.property(
+            f"Acquisition_{sx}.doppler_step", 250)),
+        acq_pfa=config.property(f"Acquisition_{sx}.pfa", 0.001),
+        acq_dwells=config.property(f"Acquisition_{sx}.max_dwells", 2),
+        pll_bw_hz=config.property(f"Tracking_{sx}.pll_bw_hz", 35.0),
+        dll_bw_hz=config.property(f"Tracking_{sx}.dll_bw_hz", 2.0),
+        enable_fll_pull_in=config.property(
+            f"Tracking_{sx}.enable_fll_pull_in", True),
+        fll_bw_hz=config.property(f"Tracking_{sx}.fll_bw_hz", 35.0),
+        pull_in_time_s=float(config.property(
+            f"Tracking_{sx}.pull_in_time_s", 0.5)),
+        early_late_space_chips=config.property(
+            f"Tracking_{sx}.early_late_space_chips", 0.5),
+        freq_slots=_parse_freq_slots(
+            config.property(f"Channels_{sx}.freq_slots", "")),
+    )
+
+
+def make_multiband_receiver(config: Configuration, suffixes: list[str]):
+    """Assemble a :class:`MultiBandReceiver` for the configured signal
+    suffix groups — the reference's hybrid-flowgraph assembly
+    (gnss_flowgraph.cc:2156 set_signals_list + factory channel loop)."""
+    from gnss_sdr_tpu.receiver.multiband import (MultiBandConfig,
+                                                 MultiBandReceiver)
+
+    _check("Observables",
+           config.property("Observables.implementation", ""), SUPPORTED_OBS)
+    _check("PVT", config.property("PVT.implementation", ""), SUPPORTED_PVT)
+    fs = float(config.property("GNSS-SDR.internal_fs_sps", 4_000_000))
+    cfg = MultiBandConfig(
+        fs=fs,
+        interval_ms=config.property("GNSS-SDR.observable_interval_ms", 20),
+        output_rate_ms=config.property("PVT.output_rate_ms", 100),
+        enable_carrier_smoothing=config.property(
+            "Observables.enable_carrier_smoothing", False),
+        smoothing_factor=config.property(
+            "Observables.smoothing_factor", 200),
+        iono_free=config.property("PVT.iono_model", "") == "IFLC",
+        positioning_mode=config.property("PVT.positioning_mode", "Single"),
+        log_base_obs=config.property("PVT.log_base_obs", False),
+    )
+    bands = [make_band_config(config, sx) for sx in suffixes]
+    return MultiBandReceiver(cfg, bands)
+
+
 def make_receiver(config: Configuration,
-                  satellites=None) -> Receiver:
+                  satellites=None):
+    """Build a receiver from reference-style configuration keys.
+
+    A single ``Channels_1C`` group assembles the (production-path) GPS
+    L1 receiver; any other combination of ``Channels_XX.count`` groups
+    assembles the multi-band receiver over one common-rate stream."""
+    suffixes = _configured_suffixes(config)
+    if suffixes and suffixes != ["1C"]:
+        return make_multiband_receiver(config, suffixes)
+    return _make_l1_receiver(config, satellites)
+
+
+def _make_l1_receiver(config: Configuration,
+                      satellites=None) -> Receiver:
     """Build a GPS L1 C/A receiver from reference-style configuration keys."""
     _check("Acquisition_1C",
            config.property("Acquisition_1C.implementation", ""),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import math
 
 import numpy as np
 
@@ -99,6 +100,14 @@ class MultiBandConfig:
     #: collapse same-satellite dual-band rows into the first-order
     #: ionosphere-free combination (rtklib IONOOPT_IFLC role)
     iono_free: bool = False
+    #: "Single" (pntpos LS) or "RTK_Kinematic" (single-baseline DD EKF +
+    #: LAMBDA against base observables, rtklib_pvt_gs positioning-mode
+    #: plumbing / rtklib_rtkpos.cc). RTK also needs
+    #: :meth:`MultiBandReceiver.set_rtk_base`.
+    positioning_mode: str = "Single"
+    #: record this receiver's own epoch observables (prn ->
+    #: (pseudorange, phase cycles)) so it can serve as an RTK base
+    log_base_obs: bool = False
 
 
 class _Band:
@@ -249,6 +258,184 @@ class _Band:
             self.new_decoder = lambda prn=1: GalileoE5aPeriodDecoder(
                 prn, fs=fs)
             self.decoder_takes_prn = True
+        elif sx == "2S":
+            # GPS L2C CM: 10230 chips at 511.5 kcps = 20 ms periods; one
+            # CNAV symbol per period (GPS_L2_M_DLL_PLL_Tracking /
+            # gps_l2c_telemetry_decoder_gs roles; GPS_L2C.h:37-40).
+            # Simulated/tracked as CM-only BPSK (the CL time-multiplex
+            # carries no data and is not modeled).
+            from gnss_sdr_tpu.codes.gps_l2c import gps_l2cm_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                GpsL2cPeriodDecoder)
+
+            self.system = "G"
+            self.period_ms = 20.0
+            self.acq = make_acquisition(
+                "GPS_L2_M_PCPS_Acquisition", sorted(cfg.satellites), fs,
+                doppler_max=cfg.doppler_max,
+                # 20 ms coherent: keep the Doppler residual well inside
+                # the pull-in FLL's +-1/(4T) = +-12.5 Hz basin; CNAV
+                # symbols flip at every code boundary, so straddle them
+                doppler_step=min(cfg.doppler_step, 60.0), pfa=cfg.acq_pfa,
+                max_dwells=cfg.acq_dwells, make_2_steps=True,
+                doppler_step2=8.0, num_doppler_bins_step2=8,
+                bit_transition_flag=True)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=10230, chip_rate_cps=0.5115e6,
+                carrier_hz=1227.60e6, symbols_per_bit=1,
+                pll_bw_hz=min(cfg.pll_bw_hz, 10.0),
+                dll_bw_hz=min(cfg.dll_bw_hz, 1.0),
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=min(cfg.fll_bw_hz, 10.0),
+                pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=min(
+                    cfg.early_late_space_chips, 0.5))
+            self.code_table = lambda prn: np.asarray(
+                gps_l2cm_code(prn), dtype=np.float32)
+            self.new_decoder = lambda prn=1: GpsL2cPeriodDecoder(fs=fs)
+            self.decoder_takes_prn = True
+        elif sx == "7X":
+            # Galileo E5b: QPSK data (I, CS4 + I/NAV at 250 sym/s) /
+            # pilot (Q, CS100) — dll_pll_veml_tracking.cc:326-348 setup,
+            # Galileo_E5b.h:34-39.
+            from gnss_sdr_tpu.codes.galileo_e5b_e6 import galileo_e5b_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                GalileoE5bPeriodDecoder)
+
+            self.system = "E"
+            self.period_ms = 1.0
+            self.acq = make_acquisition(
+                "Galileo_E5b_PCPS_Acquisition", sorted(cfg.satellites), fs,
+                doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
+                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
+                bit_transition_flag=True)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=10230, chip_rate_cps=10.23e6,
+                carrier_hz=1207.14e6, symbols_per_bit=4, track_pilot=True,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=max(cfg.early_late_space_chips, 1.0))
+            self.code_table = lambda prn: np.asarray(
+                galileo_e5b_code(prn, "Q"), dtype=np.float32)
+            self.data_code_table = lambda prn: np.asarray(
+                galileo_e5b_code(prn, "I"), dtype=np.float32)
+            self.symbol_axis = "imag"
+            self.new_decoder = lambda prn=1: GalileoE5bPeriodDecoder(
+                prn, fs=fs)
+            self.decoder_takes_prn = True
+        elif sx == "E6":
+            # Galileo E6 B/C: data (B, C/NAV HAS at 1000 sym/s) / pilot
+            # (C, CS100) — dll_pll_veml_tracking.cc:352-372,
+            # Galileo_E6.h:35.
+            from gnss_sdr_tpu.codes.galileo_e5b_e6 import galileo_e6_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                GalileoE6PeriodDecoder)
+
+            self.system = "E"
+            self.period_ms = 1.0
+            self.acq = make_acquisition(
+                "Galileo_E6_PCPS_Acquisition", sorted(cfg.satellites), fs,
+                doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
+                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
+                bit_transition_flag=True)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=5115, chip_rate_cps=5.115e6,
+                carrier_hz=1278.75e6, symbols_per_bit=1, track_pilot=True,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=min(
+                    cfg.early_late_space_chips, 0.5))
+            self.code_table = lambda prn: np.asarray(
+                galileo_e6_code(prn, "C"), dtype=np.float32)
+            self.data_code_table = lambda prn: np.asarray(
+                galileo_e6_code(prn, "B"), dtype=np.float32)
+            self.symbol_axis = "imag"
+            self.new_decoder = lambda prn=1: GalileoE6PeriodDecoder(
+                prn, fs=fs)
+            self.decoder_takes_prn = True
+        elif sx == "2G":
+            # GLONASS L2 C/A: same m-sequence/GNAV as L1, slot carriers
+            # 1246 MHz + k*437.5 kHz (GLONASS_L1_L2_CA.h:76-79;
+            # glonass_l2_ca_dll_pll_tracking.cc role)
+            from gnss_sdr_tpu.codes.glonass_l1ca import glonass_l1ca_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                GlonassGnavPeriodDecoder)
+
+            self.system = "R"
+            self.period_ms = 1.0
+            engines = []
+            for k in sorted({cfg.freq_slots.get(s, 0)
+                             for s in cfg.satellites}):
+                prns_k = [s for s in sorted(cfg.satellites)
+                          if cfg.freq_slots.get(s, 0) == k]
+                engines.append(make_acquisition(
+                    "GLONASS_L2_CA_PCPS_Acquisition", prns_k, fs,
+                    doppler_center=k * 437_500.0,
+                    doppler_max=cfg.doppler_max,
+                    doppler_step=cfg.doppler_step, pfa=cfg.acq_pfa,
+                    max_dwells=cfg.acq_dwells))
+            self.acq = _SlotAcquisition(engines)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=511, chip_rate_cps=0.511e6,
+                carrier_hz=1246.0e6, symbols_per_bit=10,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=cfg.early_late_space_chips)
+            self.code_table = lambda prn: np.asarray(
+                glonass_l1ca_code(), dtype=np.float32)
+            self.new_decoder = GlonassGnavPeriodDecoder
+        elif sx == "B3":
+            # BeiDou B3I: 10230 chips at 10.23 Mcps, NH20 + D1 like B1I
+            # (beidou_b3i adapters; Beidou_B3I.h:32-33)
+            from gnss_sdr_tpu.codes.beidou_b3i import beidou_b3i_code
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                BeidouD1PeriodDecoder)
+
+            self.system = "C"
+            self.period_ms = 1.0
+            self.acq = make_acquisition(
+                "BEIDOU_B3I_PCPS_Acquisition", sorted(cfg.satellites), fs,
+                doppler_max=cfg.doppler_max, doppler_step=cfg.doppler_step,
+                pfa=cfg.acq_pfa, max_dwells=cfg.acq_dwells,
+                bit_transition_flag=True)
+            trk = TrackingConfig(
+                fs=fs, code_length_chips=10230, chip_rate_cps=10.23e6,
+                carrier_hz=1268.52e6, symbols_per_bit=20,
+                pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=max(
+                    cfg.early_late_space_chips, 1.0))
+            self.code_table = lambda prn: np.asarray(
+                beidou_b3i_code(prn), dtype=np.float32)
+            self.new_decoder = BeidouD1PeriodDecoder
+        elif sx == "S1":
+            # SBAS L1: GPS-family C/A codes (PRN 120-138) carrying 500 sps
+            # rate-1/2 coded messages (sbas_l1_telemetry_decoder_gs +
+            # rtklib_sbas.cc roles). Channels feed the corrections store,
+            # not the observables (no TOW/pseudorange contribution).
+            from gnss_sdr_tpu.telemetry.period_decoders import (
+                SbasL1PeriodDecoder)
+
+            self.system = "S"
+            self.period_ms = 1.0
+            self.acq = make_gps_l1ca_acquisition(
+                sorted(cfg.satellites), fs, doppler_max=cfg.doppler_max,
+                doppler_step=cfg.doppler_step, pfa=cfg.acq_pfa,
+                max_dwells=cfg.acq_dwells)
+            trk = TrackingConfig(
+                fs=fs, pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=cfg.early_late_space_chips)
+            self.code_table = lambda prn: np.asarray(
+                gps_l1ca_code(prn), dtype=np.float32)
+            self.new_decoder = lambda prn=120: SbasL1PeriodDecoder(
+                prn, fs=fs)
+            self.decoder_takes_prn = True
         elif sx == "B1":
             from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
             from gnss_sdr_tpu.telemetry.period_decoders import (
@@ -292,6 +479,8 @@ class _Band:
         """Per-satellite IF offset (GLONASS FDMA slot; 0 elsewhere)."""
         if self.cfg.suffix == "1G":
             return self.cfg.freq_slots.get(prn, 0) * 562_500.0
+        if self.cfg.suffix == "2G":
+            return self.cfg.freq_slots.get(prn, 0) * 437_500.0
         return 0.0
 
     def carrier_hz(self, prn: int) -> float:
@@ -336,6 +525,13 @@ class MultiBandReceiver:
         self.solutions: list[PvtSolution] = []
         self._last_solve_tow_ms: float | None = None
         self._chan_sat: dict[int, tuple[str, int]] = {}
+        #: rx_tow_ms -> {prn: (pseudorange_m, phase_cycles)} when
+        #: cfg.log_base_obs (base-station role)
+        self.base_obs_log: dict[float, dict[int, tuple[float, float]]] = {}
+        self._rtk = None
+        self._rtk_base_obs: dict[float, dict] | None = None
+        #: DO-229 corrections store, created when an S1 band decodes
+        self.sbas = None
         self._chan_band: dict[int, _Band] = {
             band.ch_offset + i: band
             for band in self.bands for i in range(band.cfg.n_channels)}
@@ -389,6 +585,155 @@ class MultiBandReceiver:
             self._feed_band(band, per_channel)
         self._share_coarse_time()
         return self._run_pvt()
+
+    # -- SBAS corrections (rtklib_sbas.cc / DO-229 application) ----------
+    def _drain_sbas(self, band: _Band) -> None:
+        """Feed newly decoded SBAS messages into the corrections store."""
+        from gnss_sdr_tpu.telemetry.sbas_l1 import build_block
+
+        if self.sbas is None:
+            from gnss_sdr_tpu.telemetry.sbas_corrections import (
+                SbasCorrections)
+
+            self.sbas = SbasCorrections()
+        for dec in band.decoders:
+            for msg in dec.new_messages():
+                self.sbas.update(
+                    build_block(msg.msg_type, msg.payload),
+                    t_s=msg.sample_stamp / band.fs)
+
+    def _apply_sbas(self, obs: list[Observation], rx_tow_s: float,
+                    t_stream_s: float) -> list[Observation]:
+        """Apply DO-229 corrections to GPS rows: fast PRC on the
+        pseudorange, long-term satellite position/clock deltas via an
+        ephemeris wrapper, slant iono from the IGP grid at the pierce
+        point (needs a prior position — the previous fix)
+        (sbsfastcorr/sbssatcorr/sbsioncorr, rtklib_sbas.cc)."""
+        import time as _t
+
+        from gnss_sdr_tpu.pvt import geodesy
+
+        t = t_stream_s
+        prev = self.solutions[-1] if self.solutions else None
+        out = []
+        for o in obs:
+            if o.system != "G":
+                out.append(o)
+                continue
+            pr = o.pseudorange_m
+            eph = o.eph
+            prc = self.sbas.pseudorange_correction(o.prn, t_s=t)
+            if prc is not None:
+                pr = pr + prc
+            sc = self.sbas.satellite_correction(o.prn, t)
+            if sc is not None:
+                eph = _SbasCorrectedEphemeris(eph, sc[0], sc[1])
+            if prev is not None and prev.valid:
+                az, el = geodesy.azimuth_elevation(
+                    prev.pos_ecef, np.asarray(eph.sat_pos(rx_tow_s)))
+                iono = self.sbas.iono_delay(prev.lat_rad, prev.lon_rad,
+                                            el, az)
+                if iono is not None:
+                    pr = pr - iono
+            out.append(dataclasses.replace(o, pseudorange_m=pr, eph=eph))
+        return out
+
+    def set_rtk_base(self, base_pos_ecef, base_obs: dict,
+                     code_sigma_m: float = 0.5) -> None:
+        """Arm RTK positioning: ``base_obs`` maps rx_tow_ms ->
+        {prn: (pseudorange_m, carrier_phase_cycles)} from a base
+        receiver at the known ``base_pos_ecef`` (the rtklib_pvt_gs base
+        RTCM-input role; a second receiver's ``base_obs_log`` serves
+        directly)."""
+        from gnss_sdr_tpu.pvt.rtk import RtkConfig, RtkEngine
+
+        self._rtk = RtkEngine(RtkConfig(code_sigma_m=code_sigma_m),
+                              base_pos_ecef)
+        self._rtk_base_obs = base_obs
+
+    def _rtk_epoch(self, rows, rx_tow_ms: float) -> PvtSolution | None:
+        """One DD-EKF epoch against the base observables (GPS L1 rows)."""
+        base_rec = self._rtk_base_obs.get(rx_tow_ms)
+        if base_rec is None:
+            return None
+        rover = {}
+        sat_pos = {}
+        sat_pos_base = {}
+        base = {}
+        for row in rows:
+            key = self._chan_sat.get(row.channel)
+            if key is None or key[0] != "G" or key not in self.ephemerides:
+                continue
+            prn = key[1]
+            if prn not in base_rec:
+                continue
+            rover[prn] = (row.pseudorange_m,
+                          row.carrier_phase_rad / (2.0 * math.pi))
+            sat_pos[prn] = self.ephemerides[key].sat_pos(row.tow_ms / 1e3)
+            b = base_rec[prn]
+            base[prn] = (b[0], b[1])
+            # base leg geometry at the BASE measurement's transmit time
+            # (the receivers' clock biases differ; see RtkEngine)
+            b_tow = b[2] if len(b) > 2 else row.tow_ms
+            sat_pos_base[prn] = self.ephemerides[key].sat_pos(b_tow / 1e3)
+        sol = self._rtk.process_epoch(rover, base, sat_pos, sat_pos_base)
+        if sol is None:
+            return None
+        from gnss_sdr_tpu.pvt.geodesy import ecef_to_geodetic
+
+        lat, lon, h = ecef_to_geodetic(sol.pos_ecef)
+        return PvtSolution(
+            valid=True, pos_ecef=np.asarray(sol.pos_ecef),
+            clock_bias_s=0.0, vel_ecef=None, clock_drift_s_s=None,
+            gdop=0.0, pdop=0.0, hdop=0.0, vdop=0.0, n_sats=sol.n_sats,
+            residuals_m=np.zeros(0), lat_rad=lat, lon_rad=lon,
+            height_m=h, rx_tow_s=rx_tow_ms * 1e-3)
+
+    # -- receiver management (tcp_cmd_interface.cc verb semantics,
+    #    gnss_flowgraph.cc:1986-2005) --------------------------------------
+    def apply_command(self, verb: str, args: list[str] | None = None) -> str:
+        args = args or []
+        verb = verb.lower()
+        if verb == "status":
+            lines = []
+            for band in self.bands:
+                for f in band.fsms:
+                    lines.append(f"ch {f.channel_id} [{band.cfg.suffix}]: "
+                                 f"{f.state.name} PRN {f.prn}")
+            lines.append(f"fixes: {len(self.solutions)}")
+            return "; ".join(lines)
+        if verb in ("standby", "coldstart", "warmstart", "hotstart"):
+            for band in self.bands:
+                for local_ch, f in enumerate(band.fsms):
+                    prn = f.stop()
+                    if prn:
+                        band.sat_pool.append(prn)
+                    band.tracking.stop_channel(local_ch)
+                    self.observables.reset_channel(f.channel_id)
+                    self._chan_sat.pop(f.channel_id, None)
+            if verb == "coldstart":
+                self.ephemerides.clear()
+                self._last_solve_tow_ms = None
+            return f"OK {verb}"
+        if verb == "set_ch_satellite":
+            gch, prn = int(args[0]), int(args[1])
+            band = self._chan_band.get(gch)
+            if band is None:
+                return f"ERROR channel {gch} out of range"
+            f = band.fsms[gch - band.ch_offset]
+            old = f.stop()
+            if old:
+                band.sat_pool.append(old)
+            band.tracking.stop_channel(gch - band.ch_offset)
+            self.observables.reset_channel(gch)
+            self._chan_sat.pop(gch, None)
+            if prn in band.sat_pool:
+                band.sat_pool.remove(prn)
+            f.start_acquisition(prn)
+            return f"OK ch {gch} -> PRN {prn}"
+        if verb == "reset":
+            return "OK reset requested"
+        return f"ERROR unknown command {verb}"
 
     def _share_coarse_time(self) -> None:
         """Cross-band time transfer.
@@ -494,21 +839,53 @@ class MultiBandReceiver:
                     self.observables.add_anchor(
                         gch, boundary * scale, tow, p.carrier_doppler_hz,
                         p.acc_carrier_phase_rad, p.cn0_db_hz)
+            # telemetry watchdog (gps_l1_ca_telemetry_decoder_gs.cc:459
+            # parity): no valid frame in the window -> requeue the SV
+            if getattr(dec, "telemetry_failed", False):
+                prn = fsm.loss_of_lock()
+                if prn:
+                    band.sat_pool.append(prn)
+                band.tracking.stop_channel(local_ch)
+                self.observables.reset_channel(gch)
+                self._chan_sat.pop(gch, None)
+                band.decoders[local_ch] = band.make_decoder(fsm.prn or 1)
+                continue
             key = (band.system, fsm.prn)
             if dec.has_full_ephemeris() and key not in self.ephemerides:
                 self.ephemerides[key] = band.make_ephemeris(fsm.prn, dec)
+        if band.system == "S":
+            self._drain_sbas(band)
 
-    def _run_pvt(self) -> list[PvtSolution]:
-        limit = min(
-            (b.tracking.abs_block_start
-             - 2 * b.tracking.engine.max_period) * self.cfg.fs / b.fs
-            for b in self.bands)
+    def _run_pvt(self, limit: float | None = None) -> list[PvtSolution]:
+        if limit is None:
+            limit = min(
+                (b.tracking.abs_block_start
+                 - 2 * b.tracking.engine.max_period) * self.cfg.fs / b.fs
+                for b in self.bands)
         new = []
         for rows in self.observables.epochs_until(limit):
             rx_tow_ms = rows[0].rx_tow_ms
+            if self.cfg.log_base_obs:
+                rec = {}
+                for row in rows:
+                    key = self._chan_sat.get(row.channel)
+                    if key is not None and key[0] == "G":
+                        rec[key[1]] = (row.pseudorange_m,
+                                       row.carrier_phase_rad
+                                       / (2.0 * math.pi), row.tow_ms)
+                if rec:
+                    self.base_obs_log[rx_tow_ms] = rec
             if self._last_solve_tow_ms is not None and \
                     rx_tow_ms - self._last_solve_tow_ms \
                     < self.cfg.output_rate_ms:
+                continue
+            if self.cfg.positioning_mode.startswith("RTK") \
+                    and self._rtk is not None:
+                sol = self._rtk_epoch(rows, rx_tow_ms)
+                if sol is not None:
+                    self._last_solve_tow_ms = rx_tow_ms
+                    self.solutions.append(sol)
+                    new.append(sol)
                 continue
             obs = []
             for row in rows:
@@ -526,6 +903,11 @@ class MultiBandReceiver:
             # DISTINCT satellites or the LS normal matrix is rank-deficient
             if len({(o.system, o.prn) for o in obs}) < 4:
                 continue
+            if self.sbas is not None:
+                # correction ages run on the receiver sample clock (the
+                # SBAS decoder stamps messages in stream samples)
+                obs = self._apply_sbas(obs, rx_tow_ms * 1e-3,
+                                       rows[0].sample / self.cfg.fs)
             if self.cfg.iono_free:
                 from gnss_sdr_tpu.pvt.dual_freq import combine_dual_freq
 
@@ -537,3 +919,25 @@ class MultiBandReceiver:
                 self.solutions.append(sol)
                 new.append(sol)
         return new
+
+
+class _SbasCorrectedEphemeris:
+    """Broadcast ephemeris + DO-229 long-term deltas (sbssatcorr role):
+    satellite position shifted by dpos(t), clock by dclk(t)."""
+
+    def __init__(self, eph, dpos_m, dclk_s):
+        self._eph = eph
+        self._dpos = np.asarray(dpos_m, dtype=np.float64)
+        self._dclk = float(dclk_s)
+        self.tgd_s = getattr(eph, "tgd_s", 0.0)
+        self.prn = getattr(eph, "prn", 0)
+
+    def sat_pos(self, t_sv: float):
+        p = np.asarray(self._eph.sat_pos(t_sv)) + self._dpos
+        return tuple(p)
+
+    def sat_vel(self, t_sv: float, dt: float = 1e-3):
+        return self._eph.sat_vel(t_sv)
+
+    def clock_bias_s(self, t_sv: float) -> float:
+        return self._eph.clock_bias_s(t_sv) + self._dclk

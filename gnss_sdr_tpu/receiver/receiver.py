@@ -327,6 +327,17 @@ class Receiver:
                         ch, boundary, tow_at_boundary,
                         p.carrier_doppler_hz, p.acc_carrier_phase_rad,
                         p.cn0_db_hz)
+            # telemetry watchdog: a channel tracking a false lock can hold
+            # high C/N0 forever; no valid frame within the window forces
+            # loss of lock (gps_l1_ca_telemetry_decoder_gs.cc:456-464)
+            if getattr(dec, "telemetry_failed", False):
+                prn = fsm.loss_of_lock()
+                if prn:
+                    self.sat_pool.append(prn)
+                self.tracking.stop_channel(ch)
+                self.observables.reset_channel(ch)
+                self.decoders[ch] = GpsLnavDecoder()
+                continue
             if dec.has_full_ephemeris() and fsm.prn not in self.ephemerides:
                 self.ephemerides[fsm.prn] = GpsEphemeris.from_fields(
                     fsm.prn, dec.ephemeris_fields)

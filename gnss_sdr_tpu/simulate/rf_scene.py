@@ -254,12 +254,14 @@ def generate_glonass_scene(
     tau_grid_hz: float = 10.0,
     noise: bool = True,
     bandlimit: bool = True,
+    band: str = "L1",
 ) -> np.ndarray:
-    """Geometry-accurate GLONASS L1 C/A FDMA scene with live GNAV data.
+    """Geometry-accurate GLONASS L1/L2 C/A FDMA scene with live GNAV data.
 
     ``ephs``: slot number -> :class:`GlonassEphemeris` (state-vector, SI);
     ``slots``: slot number -> FDMA frequency channel k in -7..6. Baseband
-    is centered on 1602 MHz, so slot k rides at +k*562.5 kHz
+    is centered on the band center (1602 MHz L1 / 1246 MHz L2), so slot k
+    rides at +k*562.5 kHz (L1) or +k*437.5 kHz (L2)
     (GLONASS_L1_L2_CA.h:76-79). ``frame_start_tow_s`` must be a multiple
     of 30 s (GNAV frame grid, ICD 4.2); strings cycle ids 1..15 with the
     ephemeris in strings 1-4 and valid-KX filler elsewhere, each string =
@@ -273,6 +275,8 @@ def generate_glonass_scene(
 
     chip_rate = 0.511e6
     code_len = 511
+    f_center, slot_step = ((1602.0e6, 562_500.0) if band == "L1"
+                           else (1246.0e6, 437_500.0))
     n = int(round(fs * duration_s))
     t_rel = np.arange(n) / fs
     out = None
@@ -358,9 +362,9 @@ def generate_glonass_scene(
                         0, len(chips10) - 1)
         spread = spread * chips10[d_idx]
 
-        f_slot = 1602.0e6 + k * 562_500.0
+        f_slot = f_center + k * slot_step
         phase = -2.0 * np.pi * f_slot * tau_t \
-            + 2.0 * np.pi * (k * 562_500.0) * t_rel
+            + 2.0 * np.pi * (k * slot_step) * t_rel
         sig = spread * np.exp(1j * phase)
         out = sig if out is None else out + sig
 
@@ -587,8 +591,12 @@ def generate_beidou_scene(
     tau_grid_hz: float = 10.0,
     noise: bool = True,
     bandlimit: bool = True,
+    band: str = "B1",
 ) -> np.ndarray:
-    """Geometry-accurate BeiDou B1I scene with live D1 data + NH20.
+    """Geometry-accurate BeiDou B1I/B3I scene with live D1 data + NH20.
+
+    ``band``: "B1" (1561.098 MHz, 2.046 Mcps) or "B3" (1268.52 MHz,
+    10.23 Mcps, Beidou_B3I.h:32-33) — same D1/NH20 data layers.
 
     ``ephs``: Kepler containers (BDS D1 uses the same parameterization;
     CGCS2000 == WGS-84 to 1e-9 here). ``sow_start_s`` must be a multiple
@@ -597,13 +605,17 @@ def generate_beidou_scene(
     (BEIDOU_B1I.h, beidou_b1i_telemetry_decoder_gs.cc:208-260).
     """
     from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code
+    from gnss_sdr_tpu.codes.beidou_b3i import beidou_b3i_code
     from gnss_sdr_tpu.telemetry.beidou_d1 import (build_subframe,
                                                   subframe_to_symbols)
     from gnss_sdr_tpu.telemetry.period_decoders import BEIDOU_NH20
 
-    chip_rate = 2.046e6
-    code_len = 2046
-    carrier = 1561.098e6
+    if band == "B3":
+        chip_rate, code_len, carrier = 10.23e6, 10230, 1268.52e6
+        code_of = beidou_b3i_code
+    else:
+        chip_rate, code_len, carrier = 2.046e6, 2046, 1561.098e6
+        code_of = beidou_b1i_code
     n = int(round(fs * duration_s))
     t_rel = np.arange(n) / fs
     out = None
@@ -638,7 +650,7 @@ def generate_beidou_scene(
             syms.append(np.where(tx == 1, -1.0, 1.0))
         syms = np.concatenate(syms)
 
-        code = beidou_b1i_code(prn).astype(np.float64)
+        code = code_of(prn).astype(np.float64)
         t_tx = (t_start - sow_start_s) + t_rel - tau_t + dts
         chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
         spread = code[chip_idx % code_len]
@@ -658,3 +670,287 @@ def generate_beidou_scene(
         out = out + sigma * (rng.standard_normal(n)
                              + 1j * rng.standard_normal(n))
     return out.astype(np.complex64)
+
+
+def generate_gps_l2c_scene(
+    ephs: dict[int, GpsEphemeris],
+    prns: list[int],
+    rx_ecef: np.ndarray,
+    t_start: float,
+    duration_s: float,
+    fs: float,
+    bits_start_tow_s: float,
+    cn0_db_hz: float = 48.0,
+    seed: int = 7,
+    tau_grid_hz: float = 10.0,
+    noise: bool = True,
+    bandlimit: bool = True,
+) -> np.ndarray:
+    """Geometry-accurate GPS L2C scene: CM code BPSK carrying CNAV at
+    50 sps (one symbol per 20 ms code period; GPS_L2C.h:37-40,
+    gps_l2c_telemetry_decoder_gs.cc framing).
+
+    ``bits_start_tow_s`` must be a CNAV-on-L2 message boundary (multiple
+    of 12 s). The CL time-multiplex carries no data and is not modeled
+    (the receiver tracks CM-only, matching the simulation).
+    """
+    from gnss_sdr_tpu.codes.gps_l2c import gps_l2cm_code
+    from gnss_sdr_tpu.telemetry.gps_cnav import build_message
+    from gnss_sdr_tpu.telemetry.viterbi import encode_conv
+
+    chip_rate = 0.5115e6
+    code_len = 10230
+    carrier = 1227.60e6
+    n = int(round(fs * duration_s))
+    t_rel = np.arange(n) / fs
+    out = None
+    rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
+
+    n_msgs = int(np.ceil(
+        (t_start + duration_s - bits_start_tow_s) / 12.0)) + 1
+    type_cycle = (10, 11, 30)
+    for prn in prns:
+        eph = ephs[prn]
+        t_grid, taus = _light_time_grid(eph, rx_of, t_start,
+                                        duration_s, tau_grid_hz)
+        tau_t = np.interp(t_start + t_rel, t_grid, taus)
+        dts = eph.clock_bias_s(t_start - float(taus[0])) - eph.tgd_s
+
+        bits = []
+        for i in range(n_msgs):
+            fields = dict(
+                prn=prn, msg_type=type_cycle[i % 3],
+                tow_s=bits_start_tow_s + 12.0 * (i + 1),
+                week_number=eph.week_number, toe_s=eph.toe_s,
+                delta_a_m=eph.sqrt_a**2 - 26_559_710.0,
+                delta_n_rad_s=eph.delta_n_rad_s, m0_rad=eph.m0_rad,
+                ecc=eph.ecc, omega_rad=eph.omega_rad,
+                omega0_rad=eph.omega0_rad, i0_rad=eph.i0_rad,
+                delta_omega_dot_rad_s=eph.omega_dot_rad_s
+                - (-2.6e-9) * np.pi,
+                idot_rad_s=eph.idot_rad_s, cis_rad=eph.cis_rad,
+                cic_rad=eph.cic_rad, crs_m=eph.crs_m, crc_m=eph.crc_m,
+                cus_rad=eph.cus_rad, cuc_rad=eph.cuc_rad,
+                toc_s=eph.toc_s, af0=eph.af0, af1=eph.af1, af2=eph.af2,
+                tgd_s=eph.tgd_s,
+            )
+            bits.append(build_message(fields))
+        symbols = encode_conv(np.concatenate(bits), kk=7, g=(0o171, 0o133))
+        symbols = np.where(symbols == 1, -1.0, 1.0)
+
+        cm = gps_l2cm_code(prn).astype(np.float64)
+        t_tx = (t_start - bits_start_tow_s) + t_rel - tau_t + dts
+        chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
+        sym_idx = np.clip(np.floor(t_tx / 0.02).astype(np.int64),
+                          0, len(symbols) - 1)
+        data = cm[chip_idx % code_len] * symbols[sym_idx]
+
+        phase = -2.0 * np.pi * carrier * tau_t
+        sig = data * np.exp(1j * phase)
+        out = sig if out is None else out + sig
+
+    if bandlimit:
+        out = _bandlimit(out)
+    if noise:
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        out = out + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return out.astype(np.complex64)
+
+
+def generate_galileo_e5b_scene(
+    ephs: dict[int, GpsEphemeris],
+    prns: list[int],
+    rx_ecef: np.ndarray,
+    t_start: float,
+    duration_s: float,
+    fs: float,
+    bits_start_tow_s: float,
+    cn0_db_hz: float = 48.0,
+    seed: int = 8,
+    tau_grid_hz: float = 10.0,
+    noise: bool = True,
+    bandlimit: bool = True,
+) -> np.ndarray:
+    """Geometry-accurate Galileo E5b scene: data (I, CS4 + I/NAV at
+    250 sps) + pilot (Q, CS100), QPSK at equal power (Galileo_E5b.h;
+    dll_pll_veml_tracking.cc:326-348).
+
+    ``bits_start_tow_s`` must be an even second (I/NAV page boundary);
+    the I/NAV stream matches generate_galileo_scene's E1 stream layout
+    (E5b carries the same message family).
+    """
+    from gnss_sdr_tpu.codes.galileo_e5b_e6 import (galileo_e5b_code,
+                                                   galileo_e5b_secondary)
+
+    chip_rate = 10.23e6
+    code_len = 10230
+    carrier = 1207.14e6
+    symbol_s = 0.004
+    n = int(round(fs * duration_s))
+    t_rel = np.arange(n) / fs
+    out = None
+    rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
+    amp = 1.0 / np.sqrt(2.0)
+
+    n_pages = int(np.ceil(
+        (t_start + duration_s - bits_start_tow_s) / 2.0)) + 1
+    for prn in prns:
+        eph = ephs[prn]
+        t_grid, taus = _light_time_grid(eph, rx_of, t_start,
+                                        duration_s, tau_grid_hz)
+        tau_t = np.interp(t_start + t_rel, t_grid, taus)
+        dts = eph.clock_bias_s(t_start - float(taus[0])) - eph.tgd_s
+
+        symbols = _inav_symbol_stream(eph, bits_start_tow_s, n_pages)
+        cs4 = np.array([1.0 if c == "0" else -1.0
+                        for c in galileo_e5b_secondary(prn, "I")])
+        cs100 = np.array([1.0 if c == "0" else -1.0
+                          for c in galileo_e5b_secondary(prn, "Q")])
+        ci = galileo_e5b_code(prn, "I").astype(np.float64)
+        cq = galileo_e5b_code(prn, "Q").astype(np.float64)
+
+        t_tx = (t_start - bits_start_tow_s) + t_rel - tau_t + dts
+        chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
+        ms_idx = np.floor(t_tx * 1000.0).astype(np.int64)
+        pilot = cq[chip_idx % code_len] * cs100[ms_idx % 100]
+        sym_idx = np.clip(np.floor(t_tx / symbol_s).astype(np.int64),
+                          0, len(symbols) - 1)
+        data = ci[chip_idx % code_len] * cs4[ms_idx % 4] * symbols[sym_idx]
+
+        phase = -2.0 * np.pi * carrier * tau_t
+        sig = amp * (data + 1j * pilot) * np.exp(1j * phase)
+        out = sig if out is None else out + sig
+
+    if bandlimit:
+        out = _bandlimit(out)
+    if noise:
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        out = out + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return out.astype(np.complex64)
+
+
+def generate_galileo_e6_scene(
+    ephs: dict[int, GpsEphemeris],
+    prns: list[int],
+    rx_ecef: np.ndarray,
+    t_start: float,
+    duration_s: float,
+    fs: float,
+    page_start_tow_s: float,
+    has_pages: dict[int, np.ndarray] | None = None,
+    cn0_db_hz: float = 48.0,
+    seed: int = 9,
+    tau_grid_hz: float = 10.0,
+    noise: bool = True,
+    bandlimit: bool = True,
+) -> np.ndarray:
+    """Geometry-accurate Galileo E6 B/C scene: data (B, C/NAV HAS pages
+    at 1000 sym/s) + pilot (C, CS100), QPSK at equal power
+    (Galileo_E6.h:35; galileo_telemetry_decoder_gs.cc E6 branches).
+
+    ``has_pages``: optional per-PRN array of +-1 C/NAV page symbol
+    streams (concatenated 1000-symbol pages); idle-pattern pages are
+    synthesized when absent. ``page_start_tow_s`` must be a whole second
+    (C/NAV page grid).
+    """
+    from gnss_sdr_tpu.codes.galileo_e5b_e6 import (galileo_e6_code,
+                                                   galileo_e6c_secondary)
+    from gnss_sdr_tpu.telemetry.galileo_cnav import encode_has_page
+
+    chip_rate = 5.115e6
+    code_len = 5115
+    carrier = 1278.75e6
+    n = int(round(fs * duration_s))
+    t_rel = np.arange(n) / fs
+    out = None
+    rng = np.random.default_rng(seed)
+    rx_of = rx_ecef if callable(rx_ecef) else (lambda t: rx_ecef)
+    amp = 1.0 / np.sqrt(2.0)
+
+    n_pages = int(np.ceil(
+        (t_start + duration_s - page_start_tow_s))) + 1
+    for prn in prns:
+        eph = ephs[prn]
+        t_grid, taus = _light_time_grid(eph, rx_of, t_start,
+                                        duration_s, tau_grid_hz)
+        tau_t = np.interp(t_start + t_rel, t_grid, taus)
+        dts = eph.clock_bias_s(t_start - float(taus[0])) - eph.tgd_s
+
+        if has_pages is not None and prn in has_pages:
+            symbols = np.asarray(has_pages[prn], dtype=np.float64)
+        else:
+            # operational-status filler pages with valid CRC (the decoder
+            # sees real framing; HAS message content is a separate
+            # concern — dummy/test status pages are rejected by the page
+            # decoder, like the reference's HAS receiver)
+            content = rng.integers(0, 2, 424)
+            symbols = np.tile(
+                encode_has_page(content, status=1).astype(np.float64),
+                n_pages)
+
+        cs100 = np.array([1.0 if c == "0" else -1.0
+                          for c in galileo_e6c_secondary(prn)])
+        cb = galileo_e6_code(prn, "B").astype(np.float64)
+        cc = galileo_e6_code(prn, "C").astype(np.float64)
+
+        t_tx = (t_start - page_start_tow_s) + t_rel - tau_t + dts
+        chip_idx = np.floor(t_tx * chip_rate).astype(np.int64)
+        ms_idx = np.floor(t_tx * 1000.0).astype(np.int64)
+        pilot = cc[chip_idx % code_len] * cs100[ms_idx % 100]
+        sym_idx = np.clip(ms_idx, 0, len(symbols) - 1)
+        data = cb[chip_idx % code_len] * symbols[sym_idx]
+
+        phase = -2.0 * np.pi * carrier * tau_t
+        sig = amp * (data + 1j * pilot) * np.exp(1j * phase)
+        out = sig if out is None else out + sig
+
+    if bandlimit:
+        out = _bandlimit(out)
+    if noise:
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        out = out + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return out.astype(np.complex64)
+
+
+def generate_sbas_l1_signal(
+    prn: int,
+    block_bits: "np.ndarray",
+    fs: float,
+    duration_s: float,
+    delay_samples: float = 300.0,
+    doppler_hz: float = 120.0,
+    cn0_db_hz: float = 48.0,
+    seed: int = 13,
+    noise: bool = False,
+) -> np.ndarray:
+    """SBAS L1 signal: GPS-family C/A code (PRN 120-138) carrying
+    rate-1/2 coded 500 sps symbols (one symbol per two code periods;
+    sbas_l1_telemetry_decoder_gs framing). ``block_bits`` is the
+    concatenated 250-bit message stream (sbas_l1.build_block output).
+    Fixed delay/Doppler: SBAS GEO ranging is not modeled — corrections
+    content is the payload of interest."""
+    from gnss_sdr_tpu.codes import gps_l1ca_code
+    from gnss_sdr_tpu.telemetry.viterbi import encode_conv
+
+    code = np.asarray(gps_l1ca_code(prn), dtype=np.float64)
+    coded = encode_conv(np.asarray(block_bits, dtype=np.int64),
+                        kk=7, g=(0o171, 0o133))
+    symbols = 1.0 - 2.0 * coded
+    n = int(round(fs * duration_s))
+    t = np.arange(n)
+    chip_idx = np.floor((t - delay_samples) * 1.023e6 / fs).astype(np.int64)
+    ms_idx = np.floor((t - delay_samples) * 1000.0 / fs).astype(np.int64)
+    sym_idx = np.clip(ms_idx // 2, 0, len(symbols) - 1)
+    sig = code[chip_idx % 1023] * symbols[sym_idx] \
+        * np.exp(2j * np.pi * doppler_hz * t / fs)
+    if noise:
+        rng = np.random.default_rng(seed)
+        sigma = np.sqrt(fs / (2.0 * 10.0 ** (cn0_db_hz / 10.0)))
+        sig = sig + sigma * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    return sig.astype(np.complex64)

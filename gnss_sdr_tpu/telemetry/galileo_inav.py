@@ -447,8 +447,17 @@ class InavWordUpdate:
 class GalileoInavDecoder:
     """Per-channel streaming I/NAV decoder (E1-B, one symbol per 4 ms)."""
 
-    def __init__(self, crc_stats=None):
+    #: periods (4 ms) without a valid page before telemetry_failed
+    #: (galileo_telemetry_decoder_gs watchdog parity)
+    WATCHDOG_PERIODS = 500 * 20
+
+    def __init__(self, crc_stats=None, watchdog_periods: int | None = None):
         self.crc_stats = crc_stats   # optional TlmCrcStats (CRC-24Q outcomes)
+        self.watchdog_periods = (self.WATCHDOG_PERIODS
+                                 if watchdog_periods is None
+                                 else int(watchdog_periods))
+        self._n_fed = 0
+        self._last_valid = 0
         self.viterbi = ViterbiDecoder(kk=7, nn=2, g=(121, 91))
         self.history: list[float] = []
         self.stamps: list[int] = []
@@ -464,12 +473,23 @@ class GalileoInavDecoder:
     def feed(self, symbol: float, sample_stamp: int) -> InavWordUpdate | None:
         self.history.append(float(symbol))
         self.stamps.append(int(sample_stamp))
+        self._n_fed += 1
+        if self.synced or self.tow_at_last_symbol_ms is not None:
+            self._last_valid = self._n_fed
         if self.tow_at_last_symbol_ms is not None:
             self.tow_at_last_symbol_ms += 4.0  # one E1 code period = 4 ms
         if not self.synced:
             self._search_sync()
             return None
         return self._try_decode_part()
+
+    @property
+    def telemetry_failed(self) -> bool:
+        """No page sync within the watchdog window (the reference's
+        no-valid-frame channel alarm, gps_l1_ca_telemetry_decoder_gs.cc:459
+        pattern applied to I/NAV)."""
+        return (not self.synced
+                and self._n_fed - self._last_valid > self.watchdog_periods)
 
     def _search_sync(self) -> None:
         n = len(SYNC_PATTERN)

@@ -272,10 +272,20 @@ class GpsLnavDecoder:
     # subframe can be decoded retroactively
     _HISTORY_CAP = SYMBOLS_PER_SUBFRAME + 400
 
-    def __init__(self, crc_stats=None):
+    #: telemetry watchdog: symbols without a valid frame before the
+    #: channel is declared bad (gps_l1_ca_telemetry_decoder_gs.cc:118,459
+    #: — d_required_symbols * 20); receivers force loss-of-lock on
+    #: :attr:`telemetry_failed`
+    WATCHDOG_SYMBOLS = 6000 * 20
+
+    def __init__(self, crc_stats=None, watchdog_symbols: int | None = None):
         #: optional TlmCrcStats fed with every word-parity outcome
         #: (tlm_crc_stats.cc role)
         self.crc_stats = crc_stats
+        self.watchdog_symbols = (self.WATCHDOG_SYMBOLS
+                                 if watchdog_symbols is None
+                                 else int(watchdog_symbols))
+        self._last_valid_symbol = 0
         self.history: list[float] = []
         self.stamps: list[int] = []
         self.base = 0                    # absolute symbol index of history[0]
@@ -303,8 +313,19 @@ class GpsLnavDecoder:
             update = self._preamble_search()
         else:
             update = self._try_decode_subframe()
+        if update is not None or self.frame_sync:
+            self._last_valid_symbol = self.n_symbols
         self._trim_history()
         return update
+
+    @property
+    def telemetry_failed(self) -> bool:
+        """No valid frame within the watchdog window while unsynced — the
+        reference posts "bad telemetry" to tracking, which forces loss of
+        lock (gps_l1_ca_telemetry_decoder_gs.cc:456-464)."""
+        return (not self.frame_sync
+                and self.n_symbols - self._last_valid_symbol
+                > self.watchdog_symbols)
 
     def feed_array(self, symbols, stamps) -> np.ndarray:
         """Vectorized bulk feed: equivalent to per-symbol :meth:`feed` on

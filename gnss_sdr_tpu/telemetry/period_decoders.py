@@ -356,6 +356,16 @@ class BeidouD1PeriodDecoder:
             self.tow_at_last_symbol_ms = self.dec.tow_at_last_symbol_ms
         return update
 
+    def skip_periods(self, n: int) -> None:
+        """Advance the period index without samples (fast-engine handoff
+        group alignment): the partially-accumulated symbol is dropped and
+        the subframe layer re-syncs on its next preamble."""
+        self._period_idx += int(n)
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += float(n)
+        self._acc = 0.0
+        self._acc_n = 0
+
     @property
     def ephemeris_fields(self) -> dict:
         return self.dec.ephemeris_fields
@@ -366,5 +376,229 @@ class BeidouD1PeriodDecoder:
     @property
     def subframes(self) -> dict:
         return self.dec.subframes
+
+    utc_iono_fields: dict = {}
+
+
+class GpsL2cPeriodDecoder:
+    """L2C CM over 20 ms prompts: one CNAV symbol per PRN period.
+
+    The L2 CM code period (10230 chips at 511.5 kcps = 20 ms) equals the
+    CNAV symbol period at L2's 25 bps / 50 sps rate, so each prompt IS a
+    symbol and feeds the streaming Viterbi directly
+    (gps_l2c_telemetry_decoder_gs.cc:150-210 does the same without any
+    sub-layer). TOW advances 20 ms per period between message decodes.
+    """
+
+    def __init__(self, fs: float | None = None):
+        from gnss_sdr_tpu.telemetry.gps_cnav import GpsCnavDecoder
+
+        self.dec = GpsCnavDecoder(symbol_ms=20.0)
+        self.fs = fs
+        self.time_aid: tuple[float, float] | None = None
+        self.tow_at_last_symbol_ms: float | None = None
+
+    def feed(self, prompt: float, sample_stamp: int):
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += 20.0
+        update = self.dec.feed(float(prompt), sample_stamp)
+        if self.dec.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms = self.dec.tow_at_last_symbol_ms
+        elif self.time_aid is not None and self.fs:
+            # same-SV cross-band snap to the 20 ms symbol grid (the
+            # galileo_tow_map/time-transfer role) before the first full
+            # 12 s CNAV message + Viterbi history resolves autonomously
+            t_aid, tow_aid = self.time_aid
+            pred = tow_aid + (sample_stamp / self.fs - t_aid) * 1e3
+            self.tow_at_last_symbol_ms = round(pred / 20.0) * 20.0
+        return update
+
+    @property
+    def ephemeris_fields(self) -> dict:
+        return self.dec.ephemeris_fields
+
+    def has_full_ephemeris(self) -> bool:
+        return self.dec.has_full_ephemeris()
+
+    utc_iono_fields: dict = {}
+
+
+class GalileoE5bPeriodDecoder:
+    """E5b over 1 ms data prompts: CS4 secondary sync + wipe-off + 4x
+    accumulation + streaming I/NAV (galileo_telemetry_decoder_gs.cc
+    d_band=='7' branches: E5b carries the same I/NAV as E1 at
+    250 sym/s).
+
+    Pilot (E5b-Q, CS100) drives the loops; the fed value is the
+    data-component (E5b-I) prompt. Cross-band same-SV aiding snaps the
+    4 ms symbol grid before the first autonomous I/NAV page.
+    """
+
+    PERIODS_PER_SYMBOL = 4
+
+    def __init__(self, prn: int, fs: float | None = None):
+        from gnss_sdr_tpu.codes.galileo_e5b_e6 import galileo_e5b_secondary
+        from gnss_sdr_tpu.telemetry.galileo_inav import GalileoInavDecoder
+
+        self.prn = prn
+        sec = galileo_e5b_secondary(prn, "I")
+        self._signs = [1.0 if c == "0" else -1.0 for c in sec]
+        self._nh = _Nh20Sync(self._signs, frames=8)
+        self.dec = GalileoInavDecoder()
+        self._period_idx = 0
+        self._acc = 0.0
+        self._acc_n = 0
+        self.fs = fs
+        self.time_aid: tuple[float, float] | None = None
+        self.tow_at_last_symbol_ms: float | None = None
+
+    def feed(self, prompt: float, sample_stamp: int):
+        idx = self._period_idx
+        self._period_idx += 1
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += 1.0
+        if not self._nh.synced:
+            self._nh.feed(prompt, idx)
+            return None
+        into = self._nh.periods_into_code(idx)
+        if into == 0:
+            self._acc = 0.0
+            self._acc_n = 0
+        self._acc += float(prompt) * self._signs[into]
+        self._acc_n += 1
+        if into != self.PERIODS_PER_SYMBOL - 1 \
+                or self._acc_n != self.PERIODS_PER_SYMBOL:
+            return None
+        update = self.dec.feed(self._acc, sample_stamp)
+        if self.dec.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms = self.dec.tow_at_last_symbol_ms
+        elif self.time_aid is not None and self.fs:
+            t_aid, tow_aid = self.time_aid
+            pred = tow_aid + (sample_stamp / self.fs - t_aid) * 1e3
+            self.tow_at_last_symbol_ms = round(pred / 4.0) * 4.0
+        return update
+
+    @property
+    def ephemeris_fields(self) -> dict:
+        return self.dec.ephemeris_fields
+
+    def has_full_ephemeris(self) -> bool:
+        return self.dec.has_full_ephemeris()
+
+    utc_iono_fields: dict = {}
+
+
+class GalileoE6PeriodDecoder:
+    """E6-B over 1 ms data prompts: one C/NAV symbol per PRN period.
+
+    The E6-B symbol rate is 1000 sym/s = one symbol per 1 ms code period
+    (galileo_telemetry_decoder_gs.cc d_band=='6' branches); prompts feed
+    the HAS C/NAV page decoder directly. C/NAV carries no TOW field —
+    the reference resolves E6 observables time through its receiver-wide
+    galileo_tow_map (core/libs/galileo_tow_map.cc); here the same-SV
+    cross-band aid plays that role, snapping to the 1 ms period grid.
+    """
+
+    def __init__(self, prn: int = 0, fs: float | None = None):
+        from gnss_sdr_tpu.telemetry.galileo_cnav import GalileoCnavDecoder
+
+        self.prn = prn
+        self.dec = GalileoCnavDecoder()
+        self.fs = fs
+        self.time_aid: tuple[float, float] | None = None
+        self.tow_at_last_symbol_ms: float | None = None
+        self.pages = []
+
+    def feed(self, prompt: float, sample_stamp: int):
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += 1.0
+        page = self.dec.feed(float(prompt), sample_stamp)
+        if page is not None:
+            self.pages.append(page)
+        if self.time_aid is not None and self.fs:
+            t_aid, tow_aid = self.time_aid
+            self.tow_at_last_symbol_ms = \
+                tow_aid + (sample_stamp / self.fs - t_aid) * 1e3
+        return page
+
+    ephemeris_fields: dict = {}
+
+    def has_full_ephemeris(self) -> bool:
+        return False
+
+    utc_iono_fields: dict = {}
+
+
+class SbasL1PeriodDecoder:
+    """SBAS L1 over 1 ms prompts: 2-period symbol folding + streaming
+    rate-1/2 Viterbi message decode (sbas_l1_telemetry_decoder_gs role:
+    500 sps coded symbols ride the GPS-family C/A code, one symbol per
+    two code periods). Symbol-boundary phase is resolved from prompt
+    sign transitions (they only occur on symbol edges); polarity is the
+    block decoder's job. SBAS channels contribute corrections, not
+    pseudoranges: ``tow_at_last_symbol_ms`` stays None.
+    """
+
+    def __init__(self, prn: int = 120, fs: float | None = None):
+        from gnss_sdr_tpu.telemetry.sbas_l1 import SbasL1Decoder
+        from gnss_sdr_tpu.tracking.bit_sync import BitSync
+
+        self.prn = prn
+        self.fs = fs
+        # rate-1/2 convolutional pair phase is unknowable at an arbitrary
+        # stream entry point: run both hypotheses (decoder B skips one
+        # symbol) until one produces CRC-valid messages, then keep it
+        # (the reference resolves the same ambiguity through its
+        # d_channel history alignment)
+        self.dec = SbasL1Decoder()
+        self._dec_b: SbasL1Decoder | None = SbasL1Decoder()
+        self._b_skipped = False
+        self._sync = BitSync(symbols_per_bit=2, required=8)
+        self._period_idx = 0
+        self._acc = 0.0
+        self._acc_n = 0
+        self.tow_at_last_symbol_ms: float | None = None
+        self._n_consumed = 0
+
+    def feed(self, prompt: float, sample_stamp: int):
+        idx = self._period_idx
+        self._period_idx += 1
+        if not self._sync.synced:
+            self._sync.feed(prompt)
+            return None
+        into = (idx - self._sync.bit_phase) % 2
+        if into == 0:
+            self._acc = 0.0
+            self._acc_n = 0
+        self._acc += float(prompt)
+        self._acc_n += 1
+        if into != 1 or self._acc_n != 2:
+            return None
+        out = self.dec.feed(self._acc, sample_stamp)
+        if self._dec_b is not None:
+            if not self._b_skipped:
+                self._b_skipped = True      # offset hypothesis by 1 symbol
+            else:
+                self._dec_b.feed(self._acc, sample_stamp)
+            # first CRC-valid message settles the pair phase
+            if self.dec.messages:
+                self._dec_b = None
+            elif self._dec_b is not None and self._dec_b.messages:
+                self.dec = self._dec_b
+                self._dec_b = None
+                out = self.dec.messages[-1]
+        return out
+
+    def new_messages(self) -> list:
+        """Messages decoded since the previous call (the receiver drains
+        these into its SbasCorrections store)."""
+        out = self.dec.messages[self._n_consumed:]
+        self._n_consumed = len(self.dec.messages)
+        return out
+
+    ephemeris_fields: dict = {}
+
+    def has_full_ephemeris(self) -> bool:
+        return False
 
     utc_iono_fields: dict = {}

@@ -303,12 +303,17 @@ class FastTrackingEngine:
         )
 
     def set_secondary(self, state: FastState, ch: int, code: str,
-                      phase: int) -> FastState:
-        """Enable pilot secondary-code wipe-off for a channel: ``code`` is
-        the "0"/"1" secondary sequence (NH20, CS100, ...), ``phase`` the
-        secondary index of the channel's NEXT period. Switches the PLL to
-        the four-quadrant discriminator (d_cloop=false in run_dll_pll,
-        dll_pll_veml_tracking.cc:1110)."""
+                      phase: int, pure_pilot: bool = True) -> FastState:
+        """Enable secondary-code wipe-off for a channel: ``code`` is the
+        "0"/"1" secondary sequence (NH20, CS100, ...), ``phase`` the
+        secondary index of the channel's NEXT period.
+
+        ``pure_pilot=True`` (a dataless pilot component drives the loops)
+        also switches the PLL to the four-quadrant discriminator
+        (d_cloop=false in run_dll_pll, dll_pll_veml_tracking.cc:1110);
+        ``False`` keeps Costas for data-carrying channels whose secondary
+        rides ON the data (BeiDou B1I/B3I NH20 — groups must then be
+        bit-aligned so the data sign is constant inside a group)."""
         signs = np.asarray([1.0 if c in "0+" else -1.0 for c in code],
                            dtype=np.float32)
         if signs.shape[0] > self.sec_max_len:
@@ -322,7 +327,8 @@ class FastTrackingEngine:
             sec_len=state.sec_len.at[ch].set(int(signs.shape[0])),
             sec_phase=state.sec_phase.at[ch].set(
                 int(phase) % signs.shape[0]),
-            secondary_locked=state.secondary_locked.at[ch].set(True),
+            secondary_locked=state.secondary_locked.at[ch].set(
+                bool(pure_pilot)),
         )
 
     # -- code bank (bank correlator) ----------------------------------------

@@ -1,0 +1,124 @@
+"""Multi-band production receiver: per-band fast engines in steady state
+(the reference's universal engine serves all signals,
+dll_pll_veml_tracking.cc:83-600; here each band gets a group-batched
+FastTrackingEngine with per-signal K / secondary wipe-off)."""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.receiver.multiband import BandConfig, MultiBandConfig
+from gnss_sdr_tpu.receiver.production_multiband import (
+    ProductionMultiBandReceiver,
+)
+from gnss_sdr_tpu.simulate.scenario import (
+    make_constellation,
+    rx_position,
+    visible_sats,
+)
+
+
+@pytest.fixture(scope="module")
+def l1_e1_scene():
+    from gnss_sdr_tpu.simulate.rf_scene import (generate_galileo_scene,
+                                                generate_scene)
+
+    fs = 4.0e6
+    toe = 7200.0
+    bits_start = 7200.0 + 598 * 6.0
+    gal_bits_start = 7200.0 + 359 * 10.0
+    t_start = bits_start + 5.0
+    duration = 8.4
+    rx = rx_position()
+    gps_ephs = make_constellation(range(1, 13), toe_s=toe)
+    gal_ephs = make_constellation(range(1, 13), toe_s=toe, spread_seed=7)
+    gps_prns = visible_sats(gps_ephs, rx, t_start)[:3]
+    gal_prns = visible_sats(gal_ephs, rx, t_start)[:3]
+    x = generate_scene(gps_ephs, gps_prns, rx, t_start, duration, fs,
+                       bits_start_tow_s=bits_start, n_subframes=4,
+                       cn0_db_hz=48.0, seed=81)
+    x = x + generate_galileo_scene(gal_ephs, gal_prns, rx, t_start,
+                                   duration, fs,
+                                   bits_start_tow_s=gal_bits_start,
+                                   cn0_db_hz=48.0, seed=82)
+    return dict(x=x, fs=fs, rx=rx, gps_ephs=gps_ephs, gal_ephs=gal_ephs,
+                gps_prns=gps_prns, gal_prns=gal_prns)
+
+
+def test_production_l1_e1_fast_mode_fix(l1_e1_scene):
+    sc = l1_e1_scene
+    fs = sc["fs"]
+    cfg = MultiBandConfig(fs=fs, block_ms=20, output_rate_ms=100)
+    bands = [
+        BandConfig(suffix="1C", satellites=list(sc["gps_prns"]),
+                   n_channels=3, doppler_max=5000.0, doppler_step=250.0,
+                   acq_pfa=0.001, acq_dwells=2, pull_in_time_s=0.4),
+        BandConfig(suffix="1B", satellites=list(sc["gal_prns"]),
+                   n_channels=3, doppler_max=5000.0, doppler_step=125.0,
+                   acq_pfa=0.001, acq_dwells=2, pll_bw_hz=20.0,
+                   pull_in_time_s=0.4),
+    ]
+    assisted = {("G", p): sc["gps_ephs"][p] for p in sc["gps_prns"]}
+    assisted.update({("E", p): sc["gal_ephs"][p] for p in sc["gal_prns"]})
+    rec = ProductionMultiBandReceiver(cfg, bands,
+                                      assisted_ephemeris=assisted,
+                                      blocks_per_call=10)
+    sols = rec.run(sc["x"])
+    assert rec.in_fast_mode, "never handed off to the fast engines"
+    assert rec.handoff_sample < fs * 3.0
+    assert len(sols) >= 3, (
+        f"got {len(sols)} fixes; states={rec.channel_states()}")
+    errs = [np.linalg.norm(s.pos_ecef - sc["rx"]) for s in sols[1:]]
+    assert float(np.mean(errs)) < 5.0, f"mean err {np.mean(errs)}"
+    assert sols[-1].n_sats >= 5
+
+
+def test_production_l1_l5_pilot_fast_mode_fix():
+    """GPS L1 + L5 production: the L5 band runs the fast engine with
+    pilot NH20 wipe-off (rolling secondary phase), four-quadrant PLL and
+    a data-component prompt bank feeding CNAV/time-aid — the pilot/data
+    steady state the scan engine previously owned alone."""
+    from gnss_sdr_tpu.simulate.rf_scene import (generate_gps_l5_scene,
+                                                generate_scene)
+
+    FS_L1 = 2.5e6
+    FS_L5 = 12.0e6
+    toe = 7200.0
+    bits_start = 7200.0 + 598 * 6.0
+    t_start = bits_start + 5.0
+    duration = 8.4
+    rx = rx_position()
+    ephs = make_constellation(range(1, 13), toe_s=toe)
+    prns = visible_sats(ephs, rx, t_start)[:4]
+    x1 = generate_scene(ephs, prns, rx, t_start, duration, FS_L1,
+                        bits_start_tow_s=bits_start, n_subframes=4,
+                        cn0_db_hz=48.0, seed=11)
+    x5 = generate_gps_l5_scene(ephs, prns, rx, t_start, duration, FS_L5,
+                               bits_start_tow_s=bits_start,
+                               cn0_db_hz=50.0, seed=12)
+    cfg = MultiBandConfig(fs=FS_L1, block_ms=20, output_rate_ms=100)
+    bands = [
+        BandConfig(suffix="1C", satellites=list(prns), n_channels=4,
+                   doppler_max=5000.0, doppler_step=250.0, acq_pfa=0.001,
+                   acq_dwells=2, pull_in_time_s=0.4),
+        BandConfig(suffix="L5", fs=FS_L5, satellites=list(prns),
+                   n_channels=4, doppler_max=4000.0, doppler_step=250.0,
+                   acq_pfa=0.001, acq_dwells=2, pll_bw_hz=20.0,
+                   pull_in_time_s=0.4),
+    ]
+    assisted = {("G", p): ephs[p] for p in prns}
+    rec = ProductionMultiBandReceiver(cfg, bands,
+                                      assisted_ephemeris=assisted,
+                                      blocks_per_call=10)
+    sols = rec.run({"1C": x1, "L5": x5})
+    assert rec.in_fast_mode, "never handed off to the fast engines"
+    assert len(sols) >= 3, (
+        f"got {len(sols)} fixes; states={rec.channel_states()}")
+    errs = [np.linalg.norm(s.pos_ecef - rx) for s in sols[1:]]
+    assert float(np.mean(errs)) < 5.0, f"mean err {np.mean(errs)}"
+    # both bands contribute rows in the fused fix
+    assert sols[-1].n_sats >= 6
+    # the L5 fast contexts really ran secondary wipe-off
+    import numpy as _np
+
+    ctx = rec._ctx["L5"]
+    assert bool(_np.asarray(ctx.state.secondary_locked).any())
