@@ -282,11 +282,13 @@ def _multi_constellation_bench() -> float:
     add(FastTrackingEngine(b1, 8, groups_per_block=5, sec_max_len=20),
         np.stack([np.asarray(beidou_b1i_code(p + 1), np.float32)
                   for p in range(8)]))
+    # GNAV bi-binary halves are sign-constant over 10 ms, so chip-aligned
+    # K=10 groups are coherent (100 Hz loop closure instead of 1 kHz)
     glo = TrackingConfig(fs=4e6, code_length_chips=511,
                          chip_rate_cps=0.511e6, carrier_hz=1602.0e6,
-                         extend_correlation_symbols=1,
-                         pll_bw_narrow_hz=15.0, dll_bw_narrow_hz=1.0)
-    add(FastTrackingEngine(glo, 8, groups_per_block=100),
+                         extend_correlation_symbols=10,
+                         pll_bw_narrow_hz=10.0, dll_bw_narrow_hz=1.0)
+    add(FastTrackingEngine(glo, 8, groups_per_block=10),
         np.stack([np.asarray(glonass_l1ca_code(), np.float32)] * 8),
         if_freqs=[(k - 4) * 562_500.0 for k in range(8)])
 

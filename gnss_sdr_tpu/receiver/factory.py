@@ -82,6 +82,12 @@ BAND_REGISTRY: dict[str, tuple[set, set, set, list[int]]] = {
     "B3": ({"BEIDOU_B3I_PCPS_Acquisition"},
            {"BEIDOU_B3I_DLL_PLL_Tracking"},
            {"BEIDOU_B3I_Telemetry_Decoder"}, list(range(1, 38))),
+    # SBAS corrections channels (PRN 120-138 on GPS-family C/A codes);
+    # the reference has no per-suffix SBAS group, so the GPS L1 names
+    # are accepted here
+    "S1": ({"GPS_L1_CA_PCPS_Acquisition"},
+           {"GPS_L1_CA_DLL_PLL_Tracking"},
+           {"SBAS_L1_Telemetry_Decoder"}, list(range(120, 139))),
 }
 
 

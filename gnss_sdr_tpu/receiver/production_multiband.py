@@ -14,7 +14,8 @@ suffix       K        group alignment / secondary wipe-off
 L5           20       pilot NH20 wipe-off, four-quadrant PLL
 5X, 7X, E6   20       pilot CS100 wipe-off, four-quadrant PLL
 B1, B3       20       NH20 wipe-off ON data: bit-aligned + Costas
-1G, 2G       1        none (meander handled by the GNAV decoder)
+1G, 2G       10       meander-chip aligned (GNAV bi-binary halves are
+                      sign-constant over 10 ms), Costas
 ============ ======== ===============================================
 
 Deployment shape mirrors the single-band production receiver: per-band
@@ -47,7 +48,7 @@ TWO_PI = 2.0 * math.pi
 
 #: fast-engine group length per suffix (PRN periods per loop closure)
 _K_BY_SUFFIX = {"1C": 20, "1B": 1, "L5": 20, "5X": 20, "7X": 20,
-                "E6": 20, "B1": 20, "B3": 20, "1G": 1, "2G": 1}
+                "E6": 20, "B1": 20, "B3": 20, "1G": 10, "2G": 10}
 #: secondary-wipe table length the engine must carry
 _SECLEN_BY_SUFFIX = {"L5": 20, "5X": 100, "7X": 100, "E6": 100,
                      "B1": 20, "B3": 20}
@@ -168,6 +169,10 @@ class ProductionMultiBandReceiver:
             dec = band.decoders[local_ch]
             if not dec._nh.synced:
                 return False
+        if sx in ("1G", "2G"):
+            dec = band.decoders[local_ch]
+            if not dec._chip_sync.synced:
+                return False
         return True
 
     def _ready_for_handoff(self) -> bool:
@@ -217,6 +222,10 @@ class ProductionMultiBandReceiver:
                 elif sx in ("B1", "B3"):
                     dec = band.decoders[local_ch]
                     into = dec._nh.periods_into_code(count)
+                    skip = (k - into) % k
+                elif sx in ("1G", "2G"):
+                    dec = band.decoders[local_ch]
+                    into = (count - dec._chip_sync.bit_phase) % k
                     skip = (k - into) % k
                 if skip:
                     t_prn = trk_cfg.fs * trk_cfg.code_length_chips \

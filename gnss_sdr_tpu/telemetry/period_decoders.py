@@ -162,6 +162,16 @@ class GlonassGnavPeriodDecoder:
                     self.tow_at_last_symbol_ms = (frame + mod) * 1e3
         return update
 
+    def skip_periods(self, n: int) -> None:
+        """Advance the period index without samples (fast-engine handoff
+        chip alignment): the partial meander chip is dropped and the
+        string layer re-syncs on its next time mark."""
+        self._period_idx += int(n)
+        if self.tow_at_last_symbol_ms is not None:
+            self.tow_at_last_symbol_ms += float(n)
+        self._acc = 0.0
+        self._acc_n = 0
+
     @property
     def ephemeris_fields(self) -> dict:
         return self.dec.ephemeris_fields
