@@ -23,6 +23,7 @@ SUPPORTED_SOURCES = {
     "File_Timestamp_Signal_Source",
     "Fifo_Signal_Source",
     "Custom_UDP_Signal_Source",
+    "Labsat_Signal_Source",
 }
 # every name in the acquisition registry instantiates standalone via
 # acquisition.adapters.make_acquisition
@@ -123,6 +124,12 @@ def make_signal_source(config: Configuration):
             iq_swap=config.property("SignalSource.IQ_swap", False),
             address=config.property("SignalSource.origin_address",
                                     "127.0.0.1"))
+    if impl == "Labsat_Signal_Source":
+        from gnss_sdr_tpu.sources import LabsatSignalSource
+
+        return LabsatSignalSource(
+            config.property("SignalSource.filename", ""),
+            sampling_frequency=fs)
     if impl == "File_Timestamp_Signal_Source":
         from gnss_sdr_tpu.sources import FileTimestampSignalSource
 

@@ -8,6 +8,7 @@ src/algorithms/data_type_adapter/adapters/*,
 src/algorithms/signal_source/gnuradio_blocks/unpack_*.cc).
 """
 
+from gnss_sdr_tpu.sources.labsat import LabsatSignalSource  # noqa: F401
 from gnss_sdr_tpu.sources.file_source import FileSignalSource, ITEM_TYPES
 from gnss_sdr_tpu.sources.live import (
     FifoSignalSource,
