@@ -175,14 +175,18 @@ def main() -> None:
     warm = ProductionReceiver(rcfg, satellites=list(prns), blocks_per_call=20)
     warm.run(e2e_sig)
     e2e_elapsed = float("inf")
+    tm = None
     for _ in range(2):
-        rec = ProductionReceiver(rcfg, satellites=list(prns),
-                                 blocks_per_call=20)
+        cand = ProductionReceiver(rcfg, satellites=list(prns),
+                                  blocks_per_call=20)
         t0 = time.perf_counter()
-        rec.run(e2e_sig)
-        e2e_elapsed = min(e2e_elapsed, time.perf_counter() - t0)
+        cand.run(e2e_sig)
+        dt = time.perf_counter() - t0
+        if dt < e2e_elapsed:
+            # report steady-state from the SAME run that set the best
+            # elapsed (the shared chip's contention varies run to run)
+            e2e_elapsed, rec, tm = dt, cand, cand.timings
     e2e_value = len(e2e_sig) / e2e_elapsed
-    tm = rec.timings
     steady = tm["phase_b_samples"] / tm["phase_b_s"] \
         if tm["phase_b_s"] > 0 else 0.0
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+import numpy as np
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gnss_sdr_tpu")
@@ -34,22 +36,33 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+#: last receiver built by :func:`main` (test/introspection hook)
+last_receiver = None
+
+
 def main(argv=None) -> int:
+    global last_receiver
     args = build_parser().parse_args(argv)
 
     from gnss_sdr_tpu.config import FileConfiguration
     from gnss_sdr_tpu.monitor import KmlWriter, nmea_gga
-    from gnss_sdr_tpu.receiver.factory import make_receiver, make_signal_source
+    from gnss_sdr_tpu.receiver.factory import (_configured_suffixes,
+                                               make_receiver,
+                                               make_signal_source)
     from gnss_sdr_tpu.receiver.telecommand import TelecommandServer
 
     config = FileConfiguration(args.config_file)
-    overrides = {
-        "Acquisition_1C.doppler_max": args.doppler_max,
-        "Acquisition_1C.doppler_step": args.doppler_step,
-        "Tracking_1C.pll_bw_hz": args.pll_bw_hz,
-        "Tracking_1C.dll_bw_hz": args.dll_bw_hz,
-        "SignalSource.filename": args.signal_source,
-    }
+    # gflags-style overrides apply to EVERY configured signal group, as
+    # the reference's flags do (gnss_sdr_flags.cc:25-66 are global knobs)
+    suffixes = _configured_suffixes(config) or ["1C"]
+    overrides = {"SignalSource.filename": args.signal_source}
+    for sx in suffixes:
+        overrides.update({
+            f"Acquisition_{sx}.doppler_max": args.doppler_max,
+            f"Acquisition_{sx}.doppler_step": args.doppler_step,
+            f"Tracking_{sx}.pll_bw_hz": args.pll_bw_hz,
+            f"Tracking_{sx}.dll_bw_hz": args.dll_bw_hz,
+        })
     config.apply_overrides(
         {k: str(v) for k, v in overrides.items() if v is not None})
 
@@ -57,7 +70,12 @@ def main(argv=None) -> int:
     if source is None:
         print("ERROR: SignalSource.implementation missing", file=sys.stderr)
         return 2
-    receiver = make_receiver(config)
+    bounded = getattr(source, "n_samples", None)
+    # unbounded (live) sources stream block-by-block through the scan
+    # pipeline; bounded captures run the production fast path end-to-end
+    receiver = make_receiver(
+        config, engine=None if bounded else "scan")
+    last_receiver = receiver
 
     server = None
     if args.telecommand_port:
@@ -67,25 +85,49 @@ def main(argv=None) -> int:
         print(f"telecommand server on port {server.port}", file=sys.stderr)
 
     kml = KmlWriter(args.kml) if args.kml else None
+    pos = 0
     try:
-        block = receiver.block_samples
-        pos = 0
-        n = source.n_samples
-        while pos + block + receiver.overlap <= n:
-            chunk = source.read(pos, block + receiver.overlap)
-            for sol in receiver.process_block(chunk):
+        if bounded and hasattr(receiver, "run"):
+            samples = source.read(0, bounded)
+            receiver.run(samples)
+            pos = len(samples)
+            for sol in receiver.solutions:
                 print(nmea_gga(sol.lat_rad, sol.lon_rad, sol.height_m,
                                sol.n_sats, sol.hdop), end="")
                 if kml:
                     kml.add_fix(sol.lat_rad, sol.lon_rad, sol.height_m)
-            pos += block
+        else:
+            block = receiver.block_samples
+            overlap = receiver.overlap
+            tail = None
+            while True:
+                if bounded:
+                    if pos + block + overlap > bounded:
+                        break
+                    chunk = source.read(pos, block + overlap)
+                else:
+                    fresh = source.read_block(
+                        block if tail is not None else block + overlap)
+                    chunk = fresh if tail is None \
+                        else np.concatenate([tail, fresh])
+                    tail = chunk[block:]
+                for sol in receiver.process_block(chunk):
+                    print(nmea_gga(sol.lat_rad, sol.lon_rad, sol.height_m,
+                                   sol.n_sats, sol.hdop), end="")
+                    if kml:
+                        kml.add_fix(sol.lat_rad, sol.lon_rad, sol.height_m)
+                pos += block
+    except KeyboardInterrupt:
+        pass
     finally:
         if kml:
             kml.close()
         if server:
             server.stop()
-    print(f"processed {pos} samples, {len(receiver.solutions)} fixes",
-          file=sys.stderr)
+    fast = getattr(receiver, "in_fast_mode", None)
+    engine = "scan" if fast is None else f"production fast_mode={fast}"
+    print(f"processed {pos} samples, {len(receiver.solutions)} fixes "
+          f"[engine={engine}]", file=sys.stderr)
     return 0
 
 

@@ -33,6 +33,10 @@ from gnss_sdr_tpu.acquisition.adapters import (  # noqa: E402
 SUPPORTED_ACQ = {"GPS_L1_CA_PCPS_Acquisition",
                  "GPS_L1_CA_PCPS_Assisted_Acquisition",
                  "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler"}
+#: the reference has ONE configured path and it is its real-time path
+#: (gnss_block_factory.cc:637); ours defaults to the production (fast)
+#: engine with ``GNSS-SDR.engine=scan`` as the per-period escape hatch
+SUPPORTED_ENGINES = {"production", "scan"}
 SUPPORTED_TRK = {"GPS_L1_CA_DLL_PLL_Tracking"}
 SUPPORTED_TLM = {"GPS_L1_CA_Telemetry_Decoder"}
 SUPPORTED_OBS = {"Hybrid_Observables"}
@@ -213,10 +217,15 @@ def make_band_config(config: Configuration, sx: str):
     )
 
 
-def make_multiband_receiver(config: Configuration, suffixes: list[str]):
-    """Assemble a :class:`MultiBandReceiver` for the configured signal
+def make_multiband_receiver(config: Configuration, suffixes: list[str],
+                            engine: str = "production"):
+    """Assemble the multi-band receiver for the configured signal
     suffix groups — the reference's hybrid-flowgraph assembly
-    (gnss_flowgraph.cc:2156 set_signals_list + factory channel loop)."""
+    (gnss_flowgraph.cc:2156 set_signals_list + factory channel loop).
+
+    ``engine="production"`` (default) returns the fast-engine
+    :class:`ProductionMultiBandReceiver`; ``"scan"`` the per-period
+    :class:`MultiBandReceiver`."""
     from gnss_sdr_tpu.receiver.multiband import (MultiBandConfig,
                                                  MultiBandReceiver)
 
@@ -237,24 +246,52 @@ def make_multiband_receiver(config: Configuration, suffixes: list[str]):
         log_base_obs=config.property("PVT.log_base_obs", False),
     )
     bands = [make_band_config(config, sx) for sx in suffixes]
-    return MultiBandReceiver(cfg, bands)
+    agnss = _load_agnss(config)
+    assisted = ({("G", p): e for p, e in agnss.items()} if agnss else None)
+    if engine == "production":
+        from gnss_sdr_tpu.receiver.production_multiband import (
+            ProductionMultiBandReceiver)
+
+        return ProductionMultiBandReceiver(cfg, bands,
+                                           assisted_ephemeris=assisted)
+    return MultiBandReceiver(cfg, bands, assisted_ephemeris=assisted)
 
 
-def make_receiver(config: Configuration,
-                  satellites=None):
+def make_receiver(config: Configuration, satellites=None,
+                  engine: str | None = None):
     """Build a receiver from reference-style configuration keys.
 
-    A single ``Channels_1C`` group assembles the (production-path) GPS
-    L1 receiver; any other combination of ``Channels_XX.count`` groups
-    assembles the multi-band receiver over one common-rate stream."""
+    A single ``Channels_1C`` group assembles the GPS L1 receiver; any
+    other combination of ``Channels_XX.count`` groups assembles the
+    multi-band receiver over one common-rate stream. By default the
+    production (fast-engine) receiver is returned — the reference's one
+    configured path IS its real-time path (gnss_block_factory.cc:637,
+    README.md real-time claim) — unless ``GNSS-SDR.engine=scan``
+    selects the per-period scan pipeline (or the caller overrides via
+    ``engine``, e.g. for unbounded live sources)."""
+    if engine is None:
+        engine = config.property("GNSS-SDR.engine", "production")
+    _check("GNSS-SDR.engine", engine, SUPPORTED_ENGINES)
     suffixes = _configured_suffixes(config)
     if suffixes and suffixes != ["1C"]:
-        return make_multiband_receiver(config, suffixes)
-    return _make_l1_receiver(config, satellites)
+        return make_multiband_receiver(config, suffixes, engine)
+    return _make_l1_receiver(config, satellites, engine)
 
 
-def _make_l1_receiver(config: Configuration,
-                      satellites=None) -> Receiver:
+def _load_agnss(config: Configuration):
+    """Assisted GPS ephemerides from the reference's AGNSS XML surface
+    (control_thread.cc assist_GNSS: gps_ephemeris.xml read at startup
+    when configured)."""
+    path = config.property("GNSS-SDR.AGNSS_gps_ephemeris_xml", "")
+    if not path:
+        return None
+    from gnss_sdr_tpu.receiver.assistance import load_ephemeris_xml
+
+    return load_ephemeris_xml(path)
+
+
+def _make_l1_receiver(config: Configuration, satellites=None,
+                      engine: str = "production"):
     """Build a GPS L1 C/A receiver from reference-style configuration keys."""
     _check("Acquisition_1C",
            config.property("Acquisition_1C.implementation", ""),
@@ -269,9 +306,22 @@ def _make_l1_receiver(config: Configuration,
     _check("PVT", config.property("PVT.implementation", ""), SUPPORTED_PVT)
 
     fs = float(config.property("GNSS-SDR.internal_fs_sps", 4_000_000))
+    # extended coherent integration after bit sync: the production engine
+    # closes its loops once per K-symbol group (reference states 3/4,
+    # dll_pll_veml_tracking.cc:1989-2028); an explicit K=1 keeps the
+    # per-period scan engine (production requires K>1)
+    ext_k = int(config.property(
+        "Tracking_1C.extend_correlation_symbols",
+        20 if engine == "production" else 1))
+    if ext_k <= 1:
+        engine = "scan"
     cfg = ReceiverConfig(
         fs=fs,
         n_channels=config.property("Channels_1C.count", 8),
+        extend_correlation_symbols=ext_k,
+        pll_bw_narrow_hz=config.property("Tracking_1C.pll_bw_narrow_hz", 5.0),
+        dll_bw_narrow_hz=config.property(
+            "Tracking_1C.dll_bw_narrow_hz", 0.75),
         doppler_max=float(config.property("Acquisition_1C.doppler_max", 5000)),
         doppler_step=float(config.property("Acquisition_1C.doppler_step", 250)),
         acq_pfa=config.property("Acquisition_1C.pfa", 0.001),
@@ -293,5 +343,13 @@ def _make_l1_receiver(config: Configuration,
             "Observables.smoothing_factor", 200),
     )
     if satellites is None:
-        satellites = list(range(1, 33))
-    return Receiver(cfg, satellites=satellites)
+        sats_text = config.property("Channels_1C.satellites", "")
+        satellites = ([int(s) for s in sats_text.replace(";", ",").split(",")]
+                      if sats_text else list(range(1, 33)))
+    agnss = _load_agnss(config)
+    if engine == "production":
+        from gnss_sdr_tpu.receiver.production import ProductionReceiver
+
+        return ProductionReceiver(cfg, satellites=satellites,
+                                  assisted_ephemeris=agnss)
+    return Receiver(cfg, satellites=satellites, assisted_ephemeris=agnss)

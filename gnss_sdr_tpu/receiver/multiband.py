@@ -609,8 +609,6 @@ class MultiBandReceiver:
         ephemeris wrapper, slant iono from the IGP grid at the pierce
         point (needs a prior position — the previous fix)
         (sbsfastcorr/sbssatcorr/sbsioncorr, rtklib_sbas.cc)."""
-        import time as _t
-
         from gnss_sdr_tpu.pvt import geodesy
 
         t = t_stream_s
@@ -886,7 +884,10 @@ class MultiBandReceiver:
                     self._last_solve_tow_ms = rx_tow_ms
                     self.solutions.append(sol)
                     new.append(sol)
-                continue
+                    continue
+                # no matching base epoch / too few common satellites:
+                # degrade to the standalone solution like rtkpos
+                # (rtklib_rtkpos.cc pntpos fallback), don't drop the epoch
             obs = []
             for row in rows:
                 key = self._chan_sat.get(row.channel)

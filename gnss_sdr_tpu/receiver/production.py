@@ -388,3 +388,14 @@ class ProductionReceiver:
     @property
     def in_fast_mode(self) -> bool:
         return self.fast is not None
+
+    # control-plane delegation (telecommand / monitoring surfaces)
+    def channel_states(self):
+        return self.receiver.channel_states()
+
+    def apply_command(self, verb: str, args: list[str] | None = None) -> str:
+        return self.receiver.apply_command(verb, args)
+
+    @property
+    def ephemerides(self):
+        return self.receiver.ephemerides

@@ -364,6 +364,10 @@ class ProductionMultiBandReceiver:
                     band.sat_pool.append(prn)
                 rec.observables.reset_channel(gch)
                 rec._chan_sat.pop(gch, None)
+        if band.system == "S":
+            # DO-229 PRCs have short validity: deliver freshly decoded
+            # SBAS messages every consumed window, not just in phase A
+            rec._drain_sbas(band)
 
     # -- driver ------------------------------------------------------------
     def run(self, streams) -> list:
@@ -482,3 +486,13 @@ class ProductionMultiBandReceiver:
 
     def channel_states(self):
         return self.receiver.channel_states()
+
+    def apply_command(self, verb: str, args: list[str] | None = None) -> str:
+        return self.receiver.apply_command(verb, args)
+
+    @property
+    def ephemerides(self):
+        return self.receiver.ephemerides
+
+    def set_rtk_base(self, *args, **kwargs):
+        return self.receiver.set_rtk_base(*args, **kwargs)

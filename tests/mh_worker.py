@@ -80,6 +80,21 @@ def main() -> None:
         summed = allreduce_noncoherent_grid(mesh, gr)
     summed_g = multihost_utils.process_allgather(summed, tiled=True)
 
+    # --- production fast engine sharded ACROSS the process mesh ----------
+    # the ring-offset i8 superblock program (the perf-critical serving
+    # path) with FastState + code bank partitioned over the global
+    # channel axis; must be bit-identical to the local unsharded run
+    from __graft_entry__ import _fast_engine_sharded_case
+
+    import functools
+
+    with mesh:
+        fast_1, fast_n = _fast_engine_sharded_case(
+            mesh, n_dev,
+            materialize=functools.partial(
+                multihost_utils.process_allgather, tiled=True))
+    fast_identical = bool(np.array_equal(fast_1, fast_n))
+
     if pid == 0:
         np.savez(f"{outdir}/mh_out.npz",
                  prompts=np.asarray(gathered),
@@ -87,6 +102,8 @@ def main() -> None:
                  halo_in=shards,
                  grids=grids,
                  summed=np.asarray(summed_g),
+                 fast_packed=fast_n,
+                 fast_identical=fast_identical,
                  n_dev=n_dev)
     # all processes must stay alive until the gathers complete everywhere
     multihost_utils.sync_global_devices("mh_worker_done")

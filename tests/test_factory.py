@@ -44,14 +44,31 @@ def test_receiver_from_reference_style_conf(tmp_path):
     assert src is not None and src.fs == 2_500_000.0
     assert src.item_type == "ishort"
 
+    # the default assembled receiver is the production (fast) engine —
+    # the reference's one configured path is its real-time path
+    # (gnss_block_factory.cc:637)
+    from gnss_sdr_tpu.receiver.production import ProductionReceiver
+
     rec = make_receiver(config, satellites=[1, 2, 3, 4, 5, 6, 7])
+    assert isinstance(rec, ProductionReceiver)
     assert rec.cfg.n_channels == 6
     assert rec.cfg.doppler_max == 4000.0
     assert rec.cfg.pll_bw_hz == 30.0
     assert rec.cfg.enable_carrier_smoothing is True
     assert rec.cfg.output_rate_ms == 500
-    assert rec.acq.cfg.pfa == 0.002
-    assert len(rec.fsms) == 6
+    assert rec.cfg.extend_correlation_symbols == 20
+    assert rec.receiver.acq.cfg.pfa == 0.002
+    assert len(rec.receiver.fsms) == 6
+
+    # GNSS-SDR.engine=scan selects the per-period pipeline
+    config.set_property("GNSS-SDR.engine", "scan")
+    scan = make_receiver(config, satellites=[1, 2, 3])
+    assert not isinstance(scan, ProductionReceiver)
+    assert scan.acq.cfg.pfa == 0.002
+
+    config.set_property("GNSS-SDR.engine", "warp9")
+    with pytest.raises(ValueError, match="not available"):
+        make_receiver(config)
 
 
 def test_unknown_implementation_rejected():
@@ -64,6 +81,7 @@ def test_unknown_implementation_rejected():
 
 MIXED_CONF = """
 GNSS-SDR.internal_fs_sps=4000000
+GNSS-SDR.engine=scan
 SignalSource.implementation=File_Signal_Source
 SignalSource.filename={filename}
 SignalSource.item_type=gr_complex

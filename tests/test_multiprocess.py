@@ -92,3 +92,14 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     total = data["grids"].sum(axis=0)
     for d in range(n_dev):
         np.testing.assert_allclose(data["summed"][d], total, rtol=1e-6)
+
+    # production fast engine sharded ACROSS the 2-process mesh:
+    # bit-identical packed records (asserted in-worker against the
+    # unsharded run) and identical to this process's local reference
+    assert bool(data["fast_identical"]), \
+        "fast-engine superblock diverged across the process mesh"
+    from __graft_entry__ import _fast_engine_sharded_case
+    from gnss_sdr_tpu.parallel import make_mesh
+
+    local_ref, _ = _fast_engine_sharded_case(make_mesh(1), n_dev)
+    assert np.array_equal(local_ref, data["fast_packed"])

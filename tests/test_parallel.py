@@ -59,6 +59,22 @@ def test_dryrun_multichip_entrypoint():
     dryrun_multichip(8)
 
 
+def test_sharded_fast_engine_bit_identical():
+    """The production fast path (FastState + int8 ring + ring-offset
+    superblock program) channel-sharded over the 8-device mesh produces
+    BIT-IDENTICAL packed records vs the single-device run — the engine
+    behind the perf numbers is the one certified on a mesh (SURVEY
+    section 2.10 channel-axis mapping)."""
+    from __graft_entry__ import _fast_engine_sharded_case
+
+    mesh = make_mesh(8)
+    packed_1, packed_n = _fast_engine_sharded_case(mesh, 8)
+    assert packed_1.shape == packed_n.shape
+    assert np.array_equal(packed_1, packed_n), (
+        "sharded fast-engine packed record diverged: max abs diff "
+        f"{np.max(np.abs(packed_1 - packed_n))}")
+
+
 def test_entry_compiles():
     from __graft_entry__ import entry
 

@@ -122,3 +122,120 @@ def test_production_l1_l5_pilot_fast_mode_fix():
 
     ctx = rec._ctx["L5"]
     assert bool(_np.asarray(ctx.state.secondary_locked).any())
+
+
+def test_production_glonass_fast_mode_fix():
+    """GLONASS L1 production: fast engine at K=10 meander-chip-aligned
+    groups (GNAV bi-binary halves are sign-constant over 10 ms,
+    glonass_l1_ca_telemetry_decoder_gs.cc symbol model) with per-channel
+    FDMA IF offsets carried in FastState.if_freq_hz."""
+    from tests.test_multiband import _glonass_constellation
+    from gnss_sdr_tpu.simulate.rf_scene import generate_glonass_scene
+
+    FS = 4.5e6
+    rx = rx_position()
+    frame_start = round(10770.0 / 30) * 30.0
+    t_start = frame_start - 3.0
+    duration = 13.0
+    ephs, slots, prns = _glonass_constellation(rx, t_start + 6.0)
+    assert len(prns) >= 4
+    x = generate_glonass_scene(ephs, slots, prns, rx, t_start, duration,
+                               FS, frame_start_tow_s=frame_start,
+                               cn0_db_hz=48.0, seed=6)
+    assisted = {("R", p): ephs[p] for p in prns}
+    cfg = MultiBandConfig(fs=FS, output_rate_ms=200,
+                          enable_carrier_smoothing=True,
+                          smoothing_factor=50)
+    bands = [BandConfig(suffix="1G", satellites=list(prns), n_channels=4,
+                        freq_slots=slots, pull_in_time_s=0.4)]
+    rec = ProductionMultiBandReceiver(cfg, bands,
+                                      assisted_ephemeris=assisted,
+                                      blocks_per_call=10)
+    sols = rec.run(x)
+    assert rec.in_fast_mode, (
+        f"never handed off; states={rec.channel_states()}")
+    ctx = rec._ctx["1G"]
+    assert ctx.k == 10, "GLONASS fast mode must run K=10 groups"
+    assert len(sols) >= 3, (
+        f"got {len(sols)} fixes; states={rec.channel_states()}")
+    errs = [np.linalg.norm(s.pos_ecef - rx) for s in sols[1:]]
+    assert float(np.mean(errs)) < 5.0, f"mean err {np.mean(errs)}"
+
+
+def test_production_beidou_b1_fast_mode_fix():
+    """BeiDou B1I production: fast engine with NH20 wipe-off ON the data
+    component (bit-aligned K=20 groups + Costas after NH sync,
+    beidou_b1i_telemetry_decoder_gs.cc NH handling)."""
+    from gnss_sdr_tpu.simulate.rf_scene import generate_beidou_scene
+
+    FS = 5.0e6
+    rx = rx_position()
+    toe = 7200.0
+    sow_start = 7200.0 + 598 * 6.0
+    t_start = sow_start + 0.5
+    duration = 14.0
+    ephs = make_constellation(range(1, 13), toe_s=toe, spread_seed=23)
+    prns = visible_sats(ephs, rx, t_start)[:4]
+    assert len(prns) >= 4
+    x = generate_beidou_scene(ephs, prns, rx, t_start, duration, FS,
+                              sow_start_s=sow_start, cn0_db_hz=48.0,
+                              seed=8)
+    assisted = {("C", p): ephs[p] for p in prns}
+    cfg = MultiBandConfig(fs=FS, output_rate_ms=200)
+    bands = [BandConfig(suffix="B1", satellites=list(prns), n_channels=4,
+                        pull_in_time_s=0.4)]
+    rec = ProductionMultiBandReceiver(cfg, bands,
+                                      assisted_ephemeris=assisted,
+                                      blocks_per_call=10)
+    sols = rec.run(x)
+    assert rec.in_fast_mode, (
+        f"never handed off; states={rec.channel_states()}")
+    ctx = rec._ctx["B1"]
+    assert ctx.k == 20
+    # the NH20 table is armed on the data component (not pure pilot)
+    sec_len = np.asarray(ctx.state.sec_len)
+    assert (sec_len == 20).any(), f"sec_len={sec_len}"
+    assert len(sols) >= 3, (
+        f"got {len(sols)} fixes; states={rec.channel_states()}")
+    errs = [np.linalg.norm(s.pos_ecef - rx) for s in sols[1:]]
+    assert float(np.mean(errs)) < 5.0, f"mean err {np.mean(errs)}"
+
+
+def test_production_e5b_pilot_fast_mode_fix():
+    """Galileo E5b production: fast engine with CS100 pilot wipe-off
+    (rolling secondary phase over the 100 ms Q-channel code) and the
+    data-component prompt bank feeding I/NAV."""
+    from gnss_sdr_tpu.simulate.rf_scene import generate_galileo_e5b_scene
+
+    FS = 12.0e6
+    toe = 7200.0
+    bits_start = 7200.0 + 360 * 10.0
+    t_start = bits_start + 0.5
+    duration = 7.6
+    rx = rx_position()
+    ephs = make_constellation(range(1, 13), toe_s=toe)
+    prns = visible_sats(ephs, rx, t_start)[:4]
+    x = generate_galileo_e5b_scene(ephs, prns, rx, t_start, duration, FS,
+                                   bits_start_tow_s=bits_start,
+                                   cn0_db_hz=50.0, seed=41)
+    assisted = {("E", p): ephs[p] for p in prns}
+    cfg = MultiBandConfig(fs=FS, output_rate_ms=200,
+                          enable_carrier_smoothing=True,
+                          smoothing_factor=50)
+    bands = [BandConfig(suffix="7X", satellites=list(prns), n_channels=4,
+                        doppler_max=4000.0, doppler_step=250.0,
+                        acq_pfa=0.001, acq_dwells=2, pll_bw_hz=20.0,
+                        pull_in_time_s=0.4)]
+    rec = ProductionMultiBandReceiver(cfg, bands,
+                                      assisted_ephemeris=assisted,
+                                      blocks_per_call=10)
+    sols = rec.run(x)
+    assert rec.in_fast_mode, (
+        f"never handed off; states={rec.channel_states()}")
+    ctx = rec._ctx["7X"]
+    assert ctx.sec_len == 100
+    assert bool(np.asarray(ctx.state.secondary_locked).any())
+    assert len(sols) >= 3, (
+        f"got {len(sols)} fixes; states={rec.channel_states()}")
+    errs = [np.linalg.norm(s.pos_ecef - rx) for s in sols[1:]]
+    assert float(np.mean(errs)) < 5.0, f"mean err {np.mean(errs)}"
