@@ -48,6 +48,7 @@ def main(argv=None) -> int:
     from gnss_sdr_tpu.monitor import KmlWriter, nmea_gga
     from gnss_sdr_tpu.receiver.factory import (_configured_suffixes,
                                                make_receiver,
+                                               make_signal_conditioner,
                                                make_signal_source)
     from gnss_sdr_tpu.receiver.telecommand import TelecommandServer
 
@@ -70,6 +71,7 @@ def main(argv=None) -> int:
     if source is None:
         print("ERROR: SignalSource.implementation missing", file=sys.stderr)
         return 2
+    conditioner = make_signal_conditioner(config)
     bounded = getattr(source, "n_samples", None)
     # unbounded (live) sources stream block-by-block through the scan
     # pipeline; bounded captures run the production fast path end-to-end
@@ -89,6 +91,8 @@ def main(argv=None) -> int:
     try:
         if bounded and hasattr(receiver, "run"):
             samples = source.read(0, bounded)
+            if conditioner is not None:
+                samples = conditioner.apply(samples)
             receiver.run(samples)
             pos = len(samples)
             for sol in receiver.solutions:
@@ -99,23 +103,32 @@ def main(argv=None) -> int:
         else:
             block = receiver.block_samples
             overlap = receiver.overlap
-            tail = None
+            buf = np.zeros(0, dtype=np.complex64)
+            raw_pos = 0
+            raw_chunk = int(getattr(source, "fs", 0) or 4e6)  # ~1 s reads
+            exhausted = False
             while True:
-                if bounded:
-                    if pos + block + overlap > bounded:
-                        break
-                    chunk = source.read(pos, block + overlap)
-                else:
-                    fresh = source.read_block(
-                        block if tail is not None else block + overlap)
-                    chunk = fresh if tail is None \
-                        else np.concatenate([tail, fresh])
-                    tail = chunk[block:]
-                for sol in receiver.process_block(chunk):
+                while len(buf) < block + overlap and not exhausted:
+                    if bounded:
+                        n = min(raw_chunk, bounded - raw_pos)
+                        if n <= 0:
+                            exhausted = True
+                            break
+                        fresh = source.read(raw_pos, n)
+                        raw_pos += n
+                    else:
+                        fresh = source.read_block(raw_chunk)
+                    if conditioner is not None:
+                        fresh = conditioner.apply_stream(fresh)
+                    buf = np.concatenate([buf, fresh])
+                if len(buf) < block + overlap:
+                    break
+                for sol in receiver.process_block(buf[:block + overlap]):
                     print(nmea_gga(sol.lat_rad, sol.lon_rad, sol.height_m,
                                    sol.n_sats, sol.hdop), end="")
                     if kml:
                         kml.add_fix(sol.lat_rad, sol.lon_rad, sol.height_m)
+                buf = buf[block:]
                 pos += block
     except KeyboardInterrupt:
         pass

@@ -103,14 +103,70 @@ def _check(name: str, value: str, supported: set[str]) -> None:
             f"supported: {sorted(supported)}")
 
 
+def make_signal_conditioner(config: Configuration):
+    """SignalConditioner / DataTypeAdapter / InputFilter / Resampler
+    groups assembled into a :class:`SignalConditionerChain`
+    (signal_conditioner.cc:37-85); ``None`` when the conf runs the
+    source straight into the receiver (Pass_Through)."""
+    impl = config.property("SignalConditioner.implementation", "")
+    if not impl or impl == "Pass_Through":
+        return None
+    if impl != "Signal_Conditioner":
+        raise ValueError(
+            f"SignalConditioner.implementation={impl!r} is not available; "
+            f"supported: ['Pass_Through', 'Signal_Conditioner']")
+    from gnss_sdr_tpu.conditioner.chain import (SUPPORTED_ADAPTERS,
+                                                SignalConditionerChain)
+
+    _check("DataTypeAdapter",
+           config.property("DataTypeAdapter.implementation", ""),
+           SUPPORTED_ADAPTERS)
+    fs_in = float(config.property("SignalSource.sampling_frequency",
+                                  4_000_000))
+    fs_internal = float(config.property("GNSS-SDR.internal_fs_sps", fs_in))
+    cutoff = config.property("InputFilter.cutoff_hz", None)
+    trans = config.property("InputFilter.transition_hz", None)
+    chain = SignalConditionerChain(
+        fs_in=fs_in,
+        input_filter=config.property("InputFilter.implementation",
+                                     "Pass_Through") or "Pass_Through",
+        if_freq_hz=float(config.property("InputFilter.IF", 0.0)),
+        decimation=int(config.property("InputFilter.decimation_factor", 1)),
+        ntaps=int(config.property("InputFilter.number_of_taps",
+                                  config.property("InputFilter.taps", 65))),
+        cutoff_hz=float(cutoff) if cutoff is not None else None,
+        transition_hz=float(trans) if trans is not None else None,
+        resampler=config.property("Resampler.implementation",
+                                  "Pass_Through") or "Pass_Through",
+        resample_fs_out=float(config.property("Resampler.sample_freq_out",
+                                              fs_internal)),
+        pb_threshold_sigma=float(config.property(
+            "InputFilter.pb_threshold_sigma", 4.0)),
+    )
+    if abs(chain.fs_out - fs_internal) > 1.0:
+        raise ValueError(
+            f"conditioner output rate {chain.fs_out} sps does not match "
+            f"GNSS-SDR.internal_fs_sps={fs_internal}; fix the "
+            "InputFilter.decimation_factor / Resampler.sample_freq_out "
+            "keys (the reference flowgraph has the same invariant)")
+    return chain
+
+
 def make_signal_source(config: Configuration):
     impl = config.property("SignalSource.implementation", "")
     if not impl:
         return None
     _check("SignalSource", impl, SUPPORTED_SOURCES)
-    fs = float(config.property(
-        "GNSS-SDR.internal_fs_sps",
-        config.property("SignalSource.sampling_frequency", 4_000_000)))
+    if config.property("SignalConditioner.implementation", "") \
+            == "Signal_Conditioner":
+        # with a conditioner configured the source runs at the raw
+        # front-end rate; the chain delivers internal_fs_sps
+        fs = float(config.property("SignalSource.sampling_frequency",
+                                   4_000_000))
+    else:
+        fs = float(config.property(
+            "GNSS-SDR.internal_fs_sps",
+            config.property("SignalSource.sampling_frequency", 4_000_000)))
     item_type = config.property("SignalSource.item_type", "gr_complex")
     if impl == "Fifo_Signal_Source":
         from gnss_sdr_tpu.sources import FifoSignalSource
@@ -252,9 +308,30 @@ def make_multiband_receiver(config: Configuration, suffixes: list[str],
         from gnss_sdr_tpu.receiver.production_multiband import (
             ProductionMultiBandReceiver)
 
-        return ProductionMultiBandReceiver(cfg, bands,
-                                           assisted_ephemeris=assisted)
-    return MultiBandReceiver(cfg, bands, assisted_ephemeris=assisted)
+        rec = ProductionMultiBandReceiver(cfg, bands,
+                                          assisted_ephemeris=assisted)
+        _load_precise_products(config, rec.receiver)
+        return rec
+    rec = MultiBandReceiver(cfg, bands, assisted_ephemeris=assisted)
+    _load_precise_products(config, rec)
+    return rec
+
+
+def _load_precise_products(config: Configuration, rec) -> None:
+    """Precise-products config surface: ``PVT.sp3_file`` substitutes
+    SP3-c orbits/clocks for broadcast (rtklib precise-eph option) and
+    ``PVT.ionex`` supplies the TEC maps PPP's single-frequency mode and
+    iono corrections read (rtklib_ionex.cc readtec)."""
+    sp3 = config.property("PVT.sp3_file", "")
+    if sp3:
+        from gnss_sdr_tpu.pvt.precise import read_sp3
+
+        rec.precise_ephemerides.update(read_sp3(sp3))
+    ionex = config.property("PVT.ionex", "")
+    if ionex:
+        from gnss_sdr_tpu.pvt.ionex import read_ionex
+
+        rec.ionex = read_ionex(ionex)
 
 
 def make_receiver(config: Configuration, satellites=None,
@@ -273,7 +350,10 @@ def make_receiver(config: Configuration, satellites=None,
         engine = config.property("GNSS-SDR.engine", "production")
     _check("GNSS-SDR.engine", engine, SUPPORTED_ENGINES)
     suffixes = _configured_suffixes(config)
-    if suffixes and suffixes != ["1C"]:
+    # PPP/RTK estimators live in the multi-band receiver's PVT block, so
+    # those positioning modes route a single-1C conf through it as well
+    mode = config.property("PVT.positioning_mode", "Single")
+    if suffixes and (suffixes != ["1C"] or mode != "Single"):
         return make_multiband_receiver(config, suffixes, engine)
     return _make_l1_receiver(config, satellites, engine)
 

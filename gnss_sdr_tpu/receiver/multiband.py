@@ -530,6 +530,11 @@ class MultiBandReceiver:
         self.base_obs_log: dict[float, dict[int, tuple[float, float]]] = {}
         self._rtk = None
         self._rtk_base_obs: dict[float, dict] | None = None
+        #: precise products: ("G", prn) -> PreciseEphemeris overriding the
+        #: broadcast store (PVT.sp3_file), IONEX TEC map (PVT.ionex)
+        self.precise_ephemerides: dict[tuple[str, int], object] = {}
+        self.ionex = None
+        self._ppp = None
         #: DO-229 corrections store, created when an S1 band decodes
         self.sbas = None
         self._chan_band: dict[int, _Band] = {
@@ -635,6 +640,82 @@ class MultiBandReceiver:
                     pr = pr - iono
             out.append(dataclasses.replace(o, pseudorange_m=pr, eph=eph))
         return out
+
+    def _ppp_epoch(self, rows, rx_tow_ms: float) -> PvtSolution | None:
+        """One PPP float-EKF epoch (pppos role, rtklib_ppp.cc:1769):
+        bands of the same satellite pair into dual-frequency iono-free
+        observations; single-band falls back to the TEC-map-corrected
+        single-frequency mode (PVT.ionex)."""
+        from gnss_sdr_tpu.constants.general import SPEED_OF_LIGHT_M_S
+        from gnss_sdr_tpu.pvt import geodesy
+        from gnss_sdr_tpu.pvt.ppp import PppConfig, PppEngine, PppObservation
+
+        if self._ppp is None:
+            x0 = self.solutions[-1].pos_ecef if self.solutions else None
+            self._ppp = PppEngine(
+                PppConfig(tec=self.ionex,
+                          pos_process_m=0.0
+                          if self.cfg.positioning_mode.endswith("Static")
+                          else 1.0),
+                x0_ecef=x0)
+        by_sat: dict[tuple[str, int], list] = {}
+        for row in rows:
+            key = self._chan_sat.get(row.channel)
+            if key is None:
+                continue
+            eph = self.precise_ephemerides.get(key) \
+                or self.ephemerides.get(key)
+            if eph is None:
+                continue
+            by_sat.setdefault(key, []).append(
+                (self._chan_band[row.channel], row, eph))
+        obs = []
+        for key, lst in by_sat.items():
+            # highest carrier first = the L1/E1 leg of the combination
+            lst.sort(key=lambda e: -e[0].carrier_hz(key[1]))
+            band1, row1, eph = lst[0]
+            o = PppObservation(
+                prn=key, eph=eph, p1_m=row1.pseudorange_m,
+                l1_cycles=row1.carrier_phase_rad / (2.0 * math.pi),
+                f1_hz=band1.carrier_hz(key[1]),
+                cn0_db_hz=row1.cn0_db_hz)
+            if len(lst) > 1:
+                band2, row2, _ = lst[1]
+                o.p2_m = row2.pseudorange_m
+                o.l2_cycles = row2.carrier_phase_rad / (2.0 * math.pi)
+                o.f2_hz = band2.carrier_hz(key[1])
+            obs.append(o)
+        if len(obs) < 4:
+            return None
+        sol = self._ppp.process_epoch(rx_tow_ms * 1e-3, obs)
+        if not sol.valid:
+            return None
+        lat, lon, hgt = geodesy.ecef_to_geodetic(sol.pos_ecef)
+        # DOPs from the code-row geometry (solver convention)
+        los = []
+        for o in obs:
+            t_tx = rx_tow_ms * 1e-3 - o.p1_m / SPEED_OF_LIGHT_M_S
+            sat = np.asarray(o.eph.sat_pos(t_tx))
+            d = sat - sol.pos_ecef
+            los.append(np.append(-d / np.linalg.norm(d), 1.0))
+        h = np.asarray(los)
+        try:
+            q = np.linalg.inv(h.T @ h)
+            gdop = float(np.sqrt(np.trace(q)))
+            pdop = float(np.sqrt(np.trace(q[:3, :3])))
+            enu = geodesy.enu_matrix(lat, lon)
+            qenu = enu @ q[:3, :3] @ enu.T
+            hdop = float(np.sqrt(qenu[0, 0] + qenu[1, 1]))
+            vdop = float(np.sqrt(qenu[2, 2]))
+        except np.linalg.LinAlgError:
+            gdop = pdop = hdop = vdop = 99.9
+        return PvtSolution(
+            valid=True, pos_ecef=sol.pos_ecef,
+            clock_bias_s=sol.clock_bias_m / SPEED_OF_LIGHT_M_S,
+            vel_ecef=None, clock_drift_s_s=None, gdop=gdop, pdop=pdop,
+            hdop=hdop, vdop=vdop, n_sats=sol.n_sats,
+            residuals_m=sol.residuals_m, lat_rad=lat, lon_rad=lon,
+            height_m=hgt, rx_tow_s=rx_tow_ms * 1e-3)
 
     def set_rtk_base(self, base_pos_ecef, base_obs: dict,
                      code_sigma_m: float = 0.5) -> None:
@@ -877,6 +958,13 @@ class MultiBandReceiver:
                     rx_tow_ms - self._last_solve_tow_ms \
                     < self.cfg.output_rate_ms:
                 continue
+            if self.cfg.positioning_mode.startswith("PPP"):
+                sol = self._ppp_epoch(rows, rx_tow_ms)
+                if sol is not None:
+                    self._last_solve_tow_ms = rx_tow_ms
+                    self.solutions.append(sol)
+                    new.append(sol)
+                continue
             if self.cfg.positioning_mode.startswith("RTK") \
                     and self._rtk is not None:
                 sol = self._rtk_epoch(rows, rx_tow_ms)
@@ -891,13 +979,19 @@ class MultiBandReceiver:
             obs = []
             for row in rows:
                 key = self._chan_sat.get(row.channel)
-                if key is None or key not in self.ephemerides:
+                if key is None:
+                    continue
+                # SP3 precise orbits/clocks substitute for broadcast when
+                # loaded (PVT.sp3_file, rtklib precise-eph option)
+                eph = self.precise_ephemerides.get(key) \
+                    or self.ephemerides.get(key)
+                if eph is None:
                     continue
                 row.prn = key[1]
                 band = self._chan_band[row.channel]
                 obs.append(Observation(
                     prn=key[1], pseudorange_m=row.pseudorange_m,
-                    eph=self.ephemerides[key], doppler_hz=row.doppler_hz,
+                    eph=eph, doppler_hz=row.doppler_hz,
                     carrier_hz=band.carrier_hz(key[1]),
                     cn0_db_hz=row.cn0_db_hz, system=key[0]))
             # dual-band rows duplicate satellites; the geometry needs >= 4

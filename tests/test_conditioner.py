@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from gnss_sdr_tpu.conditioner import (
     design_lowpass_taps,
@@ -124,3 +125,115 @@ def test_beamformer_gain_and_null():
     import pytest
     with pytest.raises(ValueError, match="antenna channels"):
         bf.apply(x[:5])
+
+
+# --------------------------------------------------------------------------
+# SignalConditioner config chain (signal_conditioner.cc:37-85)
+# --------------------------------------------------------------------------
+
+def test_chain_stream_matches_oneshot():
+    """apply_stream chunks concatenate to the one-shot apply() result
+    (GNU Radio history semantics across buffer boundaries)."""
+    from gnss_sdr_tpu.conditioner.chain import SignalConditionerChain
+
+    rng = np.random.default_rng(3)
+    fs = 4.0e6
+    x = (rng.standard_normal(40_000)
+         + 1j * rng.standard_normal(40_000)).astype(np.complex64)
+    mk = lambda: SignalConditionerChain(
+        fs_in=fs, input_filter="Freq_Xlating_Fir_Filter",
+        if_freq_hz=1.0e6, decimation=2, ntaps=33)
+    one = mk().apply(x)
+    ch = mk()
+    parts = [ch.apply_stream(x[a:b])
+             for a, b in [(0, 7_001), (7_001, 20_000), (20_000, 40_000)]]
+    streamed = np.concatenate(parts)
+    n = min(len(one), len(streamed))
+    np.testing.assert_allclose(streamed[:n].real, one[:n].real,
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(streamed[:n].imag, one[:n].imag,
+                               rtol=0, atol=2e-4)
+
+
+def test_conditioner_config_rejects_unknown_filter():
+    from gnss_sdr_tpu.config import InMemoryConfiguration
+    from gnss_sdr_tpu.receiver.factory import make_signal_conditioner
+
+    config = InMemoryConfiguration()
+    config.set_property("SignalConditioner.implementation",
+                        "Signal_Conditioner")
+    config.set_property("InputFilter.implementation", "Warp_Filter")
+    with pytest.raises(ValueError, match="not available"):
+        make_signal_conditioner(config)
+
+    config.set_property("InputFilter.implementation",
+                        "Freq_Xlating_Fir_Filter")
+    config.set_property("SignalSource.sampling_frequency", "5000000")
+    config.set_property("InputFilter.decimation_factor", "2")
+    config.set_property("GNSS-SDR.internal_fs_sps", "2000000")
+    with pytest.raises(ValueError, match="internal_fs_sps"):
+        make_signal_conditioner(config)   # 5M/2 != 2M
+
+
+def test_cli_freq_xlating_chain_produces_fixes(tmp_path, capsys):
+    """A reference-style conf with Freq_Xlating_Fir_Filter + decimation
+    over an IF-centered capture produces fixes through the CLI — the
+    conditioner INI groups are wired, not silently ignored
+    (freq_xlating_fir_filter.cc role)."""
+    import textwrap
+
+    from gnss_sdr_tpu.__main__ import main
+    from gnss_sdr_tpu.receiver.assistance import save_ephemeris_xml
+    from gnss_sdr_tpu.simulate.rf_scene import generate_scene
+    from gnss_sdr_tpu.simulate.scenario import (make_constellation,
+                                                rx_position, visible_sats)
+
+    fs_raw = 5.0e6
+    if_hz = 1.25e6
+    toe = 7200.0
+    bits_start = 7200.0 + 598 * 6.0
+    t_start = bits_start + 4.5
+    rx = rx_position()
+    ephs = make_constellation(range(1, 13), toe_s=toe)
+    prns = visible_sats(ephs, rx, t_start)[:5]
+    x = generate_scene(ephs, prns, rx, t_start, 8.4, fs_raw,
+                       bits_start_tow_s=bits_start, n_subframes=4,
+                       cn0_db_hz=48.0, seed=31)
+    # shift the baseband scene up to a front-end IF
+    n = np.arange(len(x), dtype=np.float64)
+    x = (x * np.exp(2j * np.pi * if_hz / fs_raw * n)).astype(np.complex64)
+    cap = tmp_path / "if_capture.dat"
+    x.tofile(cap)
+    agnss = tmp_path / "eph.xml"
+    save_ephemeris_xml({p: ephs[p] for p in prns}, agnss)
+    conf = tmp_path / "rx.conf"
+    conf.write_text(textwrap.dedent(f"""
+        GNSS-SDR.internal_fs_sps=2500000
+        GNSS-SDR.AGNSS_gps_ephemeris_xml={agnss}
+        SignalSource.implementation=File_Signal_Source
+        SignalSource.filename={cap}
+        SignalSource.sampling_frequency=5000000
+        SignalSource.item_type=gr_complex
+        SignalConditioner.implementation=Signal_Conditioner
+        DataTypeAdapter.implementation=Pass_Through
+        InputFilter.implementation=Freq_Xlating_Fir_Filter
+        InputFilter.IF={if_hz}
+        InputFilter.decimation_factor=2
+        InputFilter.number_of_taps=33
+        Channels_1C.count=5
+        Channels_1C.satellites={",".join(str(p) for p in prns)}
+        Acquisition_1C.implementation=GPS_L1_CA_PCPS_Acquisition
+        Acquisition_1C.doppler_max=4000
+        Tracking_1C.implementation=GPS_L1_CA_DLL_PLL_Tracking
+        Tracking_1C.pull_in_time_s=0.4
+        TelemetryDecoder_1C.implementation=GPS_L1_CA_Telemetry_Decoder
+        Observables.implementation=Hybrid_Observables
+        PVT.implementation=RTKLIB_PVT
+        """))
+    rc = main(["-c", str(conf)])
+    captured = capsys.readouterr()
+    assert rc == 0
+    fixes = [ln for ln in captured.out.splitlines()
+             if ln.startswith("$GPGGA")]
+    assert len(fixes) >= 4, captured.err
+    assert "fast_mode=True" in captured.err

@@ -168,3 +168,36 @@ def test_mixed_gps_galileo_conf_assembles_and_fixes(tmp_path):
     assert float(np.mean(errs)) < 5.0
     # both constellations contribute measurements
     assert sols[-1].n_sats >= 5
+
+
+def test_precise_products_config_surface(tmp_path):
+    """PVT.sp3_file / PVT.ionex / PVT.positioning_mode=PPP_Static load
+    precise orbits, TEC maps and arm the PPP estimator from the INI
+    surface (rtklib precise-eph + readtec + pppos options)."""
+    from gnss_sdr_tpu.pvt.ionex import IonexTec, write_ionex
+    from gnss_sdr_tpu.pvt.precise import sp3_from_ephemerides
+    from gnss_sdr_tpu.simulate.scenario import make_constellation
+
+    ephs = make_constellation(range(1, 5), toe_s=7200.0)
+    sp3 = tmp_path / "orbits.sp3"
+    sp3.write_text(sp3_from_ephemerides(ephs, 6000.0, 4000.0, step_s=900.0))
+    ionex = tmp_path / "maps.inx"
+    write_ionex(IonexTec(
+        epochs_s=np.array([0.0, 86400.0]),
+        lats_deg=np.arange(87.5, -87.6, -2.5),
+        lons_deg=np.arange(-180.0, 180.1, 5.0),
+        height_km=450.0,
+        tec=np.full((2, 71, 73), 15.0)), ionex)
+    config = InMemoryConfiguration()
+    config.set_property("GNSS-SDR.internal_fs_sps", "2500000")
+    config.set_property("Channels_1C.count", "4")
+    config.set_property("PVT.positioning_mode", "PPP_Static")
+    config.set_property("PVT.sp3_file", str(sp3))
+    config.set_property("PVT.ionex", str(ionex))
+    # multiband assembly path (1C + S1 keeps it off the L1-only branch)
+    config.set_property("Channels_S1.count", "1")
+    rec = make_receiver(config)
+    inner = rec.receiver
+    assert inner.cfg.positioning_mode == "PPP_Static"
+    assert len(inner.precise_ephemerides) >= 4
+    assert inner.ionex is not None and inner.ionex.height_km == 450.0
