@@ -137,6 +137,11 @@ def main(argv=None) -> int:
             kml.close()
         if server:
             server.stop()
+        if config.property("PVT.rinex_output_enabled", False) \
+                and hasattr(receiver, "write_rinex"):
+            name = config.property("PVT.rinex_name", "GSDR")
+            paths = receiver.write_rinex(f"{name}.obs", f"{name}.nav")
+            print(f"RINEX written: {paths[0]} {paths[1]}", file=sys.stderr)
     fast = getattr(receiver, "in_fast_mode", None)
     engine = "scan" if fast is None else f"production fast_mode={fast}"
     print(f"processed {pos} samples, {len(receiver.solutions)} fixes "

@@ -13,7 +13,8 @@ from __future__ import annotations
 import numpy as np
 
 from gnss_sdr_tpu.acquisition.pcps import AcqConfig, PcpsAcquisition
-from gnss_sdr_tpu.codes import gps_l1ca_code, sample_code
+from gnss_sdr_tpu.codes import gps_l1ca_code
+from gnss_sdr_tpu.codes.sampling import sample_code_floor
 from gnss_sdr_tpu.config import Configuration
 from gnss_sdr_tpu.constants import get_signal
 
@@ -60,7 +61,10 @@ def gps_l1ca_replicas(prns, fs: float, sampled_ms: int = 1) -> dict[int, np.ndar
     """
     out = {}
     for prn in prns:
-        one = sample_code(gps_l1ca_code(prn), fs, 1.023e6).astype(np.complex64)
+        # floor-convention digitization: unbiased delay in the
+        # real-signal frame (see sample_code_floor docstring)
+        one = sample_code_floor(
+            gps_l1ca_code(prn), fs, 1.023e6).astype(np.complex64)
         out[prn] = np.tile(one, sampled_ms)
     return out
 
@@ -199,8 +203,8 @@ def signal_replicas(suffix: str, prns, fs: float, sampled_ms: int = 0,
         return {prn: np.tile(code, periods) for prn, code in one.items()}
     out = {}
     for prn in prns:
-        one = sample_code(chips_for(prn), fs,
-                          sig.chip_rate_cps).astype(np.complex64)
+        one = sample_code_floor(chips_for(prn), fs,
+                                sig.chip_rate_cps).astype(np.complex64)
         out[prn] = np.tile(one, periods)
     return out
 

@@ -317,7 +317,16 @@ class PcpsAcquisition:
         doppler_step, samplestamp, grid=None,
     ) -> AcqResult:
         cfg = self.cfg
-        delay = float(np.fmod(np.float32(i_time), np.float32(cfg.samples_per_code)))
+        # Replicas are digitized with the floor (chip-at-sample-start)
+        # convention (codes/sampling.py sample_code_floor), matching the
+        # incoming signal and the tracking resampler, so the peak index
+        # IS the unbiased delay. (The reference's AUX_CEIL replica lands
+        # one sample late and absorbs it in DLL pull-in,
+        # gps_sdr_signal_replica.cc:159-176 — at wide-band sample/chip
+        # ratios that bias exceeds half a chip, so we fixed the replica
+        # instead; VERDICT r4 item 7.)
+        delay = float(np.fmod(np.float32(i_time),
+                              np.float32(cfg.samples_per_code)))
         if cfg.use_automatic_resampler:
             delay = delay * cfg.resampler_ratio - cfg.resampler_latency_samples
             samplestamp = int(round(samplestamp * cfg.resampler_ratio))

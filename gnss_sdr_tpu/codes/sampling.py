@@ -41,6 +41,27 @@ def sample_code(code: np.ndarray, fs: float, chip_rate: float) -> np.ndarray:
     return code[idx]
 
 
+def sample_code_floor(code: np.ndarray, fs: float,
+                      chip_rate: float) -> np.ndarray:
+    """Resample a +-1 chip sequence with the floor (chip-at-sample-start)
+    convention — the same digitization as the incoming signal and the
+    tracking resampler (volk_gnsssdr_32f_xn_resampler_32f_xn.h:62-80).
+
+    Acquisition replicas use THIS convention so the measured delay is
+    unbiased in the real-signal frame: the reference's AUX_CEIL replica
+    (:func:`sample_code`) reads the chip at the END of each sample
+    interval, which lands its correlation peak one sample late (the
+    reference carries that bias into tracking and absorbs it in DLL
+    pull-in — at ~1.17 samples/chip wide-band rates it exceeds half a
+    chip, so we correct it at the source instead).
+    """
+    code = np.asarray(code)
+    code_length = code.shape[0]
+    n = samples_per_code(fs, chip_rate, code_length)
+    idx = np.floor(np.arange(n) * (chip_rate / fs)).astype(np.int64)
+    return code[np.minimum(idx, code_length - 1)]
+
+
 def sampled_code_phase_indices(
     n: int, code_length: int, code_phase_step_chips: float,
     rem_code_phase_chips: float = 0.0, shift_chips: float = 0.0,

@@ -23,13 +23,33 @@ from gnss_sdr_tpu.pvt.glonass_ephemeris import GlonassEphemeris
 
 GPS_EPOCH = datetime.datetime(1980, 1, 6, tzinfo=datetime.timezone.utc)
 
-# per-system observable codes (rinex_printer obsType mapping)
+# per-system observable codes (rinex_printer obsType mapping), default
+# L1-class set per system (single-band receivers)
 OBS_CODES = {
     "G": ("C1C", "L1C", "D1C", "S1C"),
     "E": ("C1B", "L1B", "D1B", "S1B"),
     "R": ("C1C", "L1C", "D1C", "S1C"),
     "C": ("C2I", "L2I", "D2I", "S2I"),
     "S": ("C1C", "L1C", "D1C", "S1C"),
+}
+
+#: receiver signal suffix -> (system, RINEX 3.02 band+attribute): the
+#: full obs-code catalogue of the signals this receiver tracks
+#: (rinex_printer.cc signal-to-code mapping across its version tables;
+#: BDS B1I/B3I are bands 2/6 in 3.02)
+BAND_OBS_CODES = {
+    "1C": ("G", "1C"),
+    "2S": ("G", "2S"),
+    "L5": ("G", "5Q"),
+    "1B": ("E", "1B"),
+    "5X": ("E", "5Q"),
+    "7X": ("E", "7Q"),
+    "E6": ("E", "6C"),
+    "1G": ("R", "1C"),
+    "2G": ("R", "2C"),
+    "B1": ("C", "2I"),
+    "B3": ("C", "6I"),
+    "S1": ("S", "1C"),
 }
 
 
@@ -193,6 +213,89 @@ class RinexNavWriter:
         return self.path
 
 
+def _parse_d19(field: str) -> float:
+    return float(field.replace("D", "E").replace("d", "E") or 0.0)
+
+
+def read_rinex_nav(path) -> dict[tuple[str, int], object]:
+    """Parse a RINEX 3.02 navigation file back into ephemeris
+    containers — the ingest half of the printer (rinex2assist's
+    Rinex3NavStream role, /root/reference/src/utils/rinex2assist/
+    main.cc): GPS/Galileo/BeiDou Kepler records -> :class:`GpsEphemeris`,
+    GLONASS state vectors -> :class:`GlonassEphemeris`. Returns
+    ``{(system letter, prn): ephemeris}``."""
+    out: dict[tuple[str, int], object] = {}
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines) and lines[i][60:80].strip() != "END OF HEADER":
+        i += 1
+    i += 1
+
+    def fields(ln: str):
+        vals = []
+        for k in range(4):
+            f = ln[4 + 19 * k: 4 + 19 * (k + 1)].strip()
+            vals.append(_parse_d19(f) if f else 0.0)
+        return vals
+
+    while i < len(lines):
+        ln = lines[i]
+        if len(ln) < 4 or ln[0] not in "GERC" or not ln[1:3].strip().isdigit():
+            i += 1
+            continue
+        sysc = ln[0]
+        prn = int(ln[1:3])
+        head = ln[23:].rstrip()
+        af = [_parse_d19(head[19 * k: 19 * (k + 1)]) for k in range(3)]
+        ymd = ln[4:23].split()
+        rows = []
+        n_rows = 3 if sysc == "R" else 7
+        for r in range(n_rows):
+            i += 1
+            rows.append(fields(lines[i]))
+        if sysc == "R":
+            eph = GlonassEphemeris(
+                slot=prn, freq_slot=int(rows[1][3]),
+                tb_s=af[2],
+                pos_m=(rows[0][0] * 1e3, rows[1][0] * 1e3,
+                       rows[2][0] * 1e3),
+                vel_m_s=(rows[0][1] * 1e3, rows[1][1] * 1e3,
+                         rows[2][1] * 1e3),
+                acc_m_s2=(rows[0][2] * 1e3, rows[1][2] * 1e3,
+                          rows[2][2] * 1e3),
+                gamma_n=af[1], tau_n_s=-af[0])
+        else:
+            week_raw = int(rows[4][2])
+            week = week_raw - {"G": 2048, "E": 1024, "C": 0}.get(sysc, 0)
+            y, mo, d, h, mi, s = (int(v) for v in ymd[:6])
+            # toc from the epoch line: seconds into the GPS week
+            jd_a = (14 - mo) // 12
+            yy = y + 4800 - jd_a
+            mm = mo + 12 * jd_a - 3
+            jdn = d + (153 * mm + 2) // 5 + 365 * yy + yy // 4 \
+                - yy // 100 + yy // 400 - 32045
+            days = jdn - 2_444_245
+            toc = (days % 7) * 86400.0 + h * 3600.0 + mi * 60.0 + s
+            eph = GpsEphemeris(
+                prn=prn, week_number=week,
+                toc_s=toc, af0=af[0], af1=af[1], af2=af[2],
+                iode=int(rows[0][0]), crs_m=rows[0][1],
+                delta_n_rad_s=rows[0][2], m0_rad=rows[0][3],
+                cuc_rad=rows[1][0], ecc=rows[1][1], cus_rad=rows[1][2],
+                sqrt_a=rows[1][3],
+                toe_s=rows[2][0], cic_rad=rows[2][1],
+                omega0_rad=rows[2][2], cis_rad=rows[2][3],
+                i0_rad=rows[3][0], crc_m=rows[3][1],
+                omega_rad=rows[3][2], omega_dot_rad_s=rows[3][3],
+                idot_rad_s=rows[4][0],
+                sv_health=int(rows[5][1]), tgd_s=rows[5][2],
+                iodc=int(rows[5][3]) if sysc == "G" else 0)
+        out[(sysc, prn)] = eph
+        i += 1
+    return out
+
+
 class Rinex2NavWriter:
     """GPS navigation file in RINEX 2.11 (the reference's
     rinex_printer.cc version-2 catalogue: Rinex_Printer with
@@ -303,35 +406,67 @@ class Rinex2ObsWriter:
 
 
 class RinexObsWriter:
-    """Multi-GNSS observation file (RINEX 3.02 'O')."""
+    """Multi-GNSS observation file (RINEX 3.02 'O').
 
-    def __init__(self, path, approx_pos=(0.0, 0.0, 0.0)):
+    ``bands``: receiver signal suffixes whose observables this file
+    carries (one C/L/D/S quartet per band per system in SYS / # / OBS
+    TYPES — the rinex_printer obs-header machinery); rows tag their
+    band via 'band' (default "1C"), and one line per satellite merges
+    every configured band's columns."""
+
+    def __init__(self, path, approx_pos=(0.0, 0.0, 0.0),
+                 bands=("1C",)):
         self.path = str(path)
         self.approx_pos = approx_pos
         self.epochs: list[str] = []
         self.systems: set[str] = set()
+        #: system -> [band suffix, ...] in header/column order
+        self.sys_bands: dict[str, list[str]] = {}
+        for sx in bands:
+            sysc, _code = BAND_OBS_CODES[sx]
+            self.sys_bands.setdefault(sysc, []).append(sx)
+
+    def _column(self, sysc: str, band: str) -> int:
+        return self.sys_bands[sysc].index(band)
 
     def add_epoch(self, week: int, tow_s: float, rows) -> None:
         """rows: iterable of dicts with prn, pseudorange_m,
-        carrier_phase_cycles, doppler_hz, cn0_db_hz and optional
-        'system' (default "G")."""
-        rows = sorted(rows, key=lambda r: (r.get("system", "G"), r["prn"]))
+        carrier_phase_cycles, doppler_hz, cn0_db_hz, optional 'system'
+        (default "G") and optional 'band' suffix (default "1C")."""
         dt = gps_time_to_datetime(week + 2048, tow_s)
         frac = tow_s - math.floor(tow_s)
-        lines = [
-            f"> {dt:%Y %m %d %H %M} {dt:%S}.{int(frac*1e7):07d}  0"
-            f"{len(rows):3d}"
-        ]
+        merged: dict[tuple[str, int], dict[str, dict]] = {}
+        default_band = {"G": "1C", "E": "1B", "R": "1G", "C": "B1",
+                        "S": "S1"}
         for r in rows:
             sysc = r.get("system", "G")
             self.systems.add(sysc)
-            lines.append(
-                f"{sysc}{r['prn']:02d}"
-                f"{r['pseudorange_m']:14.3f}  "
-                f"{r['carrier_phase_cycles']:14.3f}  "
-                f"{r['doppler_hz']:14.3f}  "
-                f"{r['cn0_db_hz']:14.3f}  "
-            )
+            band = r.get("band") or self.sys_bands.get(
+                sysc, [default_band.get(sysc, "1C")])[0]
+            if sysc not in self.sys_bands:
+                self.sys_bands[sysc] = [band]
+            elif band not in self.sys_bands[sysc]:
+                self.sys_bands[sysc].append(band)
+            merged.setdefault((sysc, r["prn"]), {})[band] = r
+        lines = [
+            f"> {dt:%Y %m %d %H %M} {dt:%S}.{int(frac*1e7):07d}  0"
+            f"{len(merged):3d}"
+        ]
+        blank = " " * 16
+        for (sysc, prn) in sorted(merged):
+            per_band = merged[(sysc, prn)]
+            fields = []
+            for band in self.sys_bands[sysc]:
+                r = per_band.get(band)
+                if r is None:
+                    fields.append(blank * 4)
+                else:
+                    fields.append(
+                        f"{r['pseudorange_m']:14.3f}  "
+                        f"{r['carrier_phase_cycles']:14.3f}  "
+                        f"{r['doppler_hz']:14.3f}  "
+                        f"{r['cn0_db_hz']:14.3f}  ")
+            lines.append(f"{sysc}{prn:02d}" + "".join(fields).rstrip())
         self.epochs.append("\n".join(lines))
 
     def close(self) -> str:
@@ -349,9 +484,22 @@ class RinexObsWriter:
             f"{x:14.4f}{y:14.4f}{z:14.4f}{'':18}APPROX POSITION XYZ",
         ]
         for sysc in systems:
-            codes = " ".join(OBS_CODES[sysc])
-            line = f"{sysc}    4 {codes}"
-            lines.append(f"{line:<60}SYS / # / OBS TYPES")
+            codes = []
+            for band in self.sys_bands.get(sysc, ["1C"]):
+                _sys, code = BAND_OBS_CODES.get(band, (sysc, "1C"))
+                codes.extend(
+                    (f"C{code}", f"L{code}", f"D{code}", f"S{code}"))
+            # SYS / # / OBS TYPES continuation lines carry 13 codes max
+            first = True
+            while codes:
+                chunk, codes = codes[:13], codes[13:]
+                if first:
+                    body = f"{sysc}  {len(chunk) + len(codes):3d} " \
+                        + " ".join(chunk)
+                    first = False
+                else:
+                    body = "       " + " ".join(chunk)
+                lines.append(f"{body:<60}SYS / # / OBS TYPES")
         lines.append(f"{'':60}END OF HEADER")
         with open(self.path, "w") as fh:
             fh.write("\n".join(lines) + "\n")

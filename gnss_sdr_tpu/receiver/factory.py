@@ -268,6 +268,7 @@ def make_band_config(config: Configuration, sx: str):
             f"Tracking_{sx}.pull_in_time_s", 0.5)),
         early_late_space_chips=config.property(
             f"Tracking_{sx}.early_late_space_chips", 0.5),
+        track_pilot=config.property(f"Tracking_{sx}.track_pilot", False),
         freq_slots=_parse_freq_slots(
             config.property(f"Channels_{sx}.freq_slots", "")),
     )
@@ -300,6 +301,7 @@ def make_multiband_receiver(config: Configuration, suffixes: list[str],
         iono_free=config.property("PVT.iono_model", "") == "IFLC",
         positioning_mode=config.property("PVT.positioning_mode", "Single"),
         log_base_obs=config.property("PVT.log_base_obs", False),
+        rinex_output=config.property("PVT.rinex_output_enabled", False),
     )
     bands = [make_band_config(config, sx) for sx in suffixes]
     agnss = _load_agnss(config)
@@ -350,10 +352,12 @@ def make_receiver(config: Configuration, satellites=None,
         engine = config.property("GNSS-SDR.engine", "production")
     _check("GNSS-SDR.engine", engine, SUPPORTED_ENGINES)
     suffixes = _configured_suffixes(config)
-    # PPP/RTK estimators live in the multi-band receiver's PVT block, so
-    # those positioning modes route a single-1C conf through it as well
+    # PPP/RTK estimators and the RINEX printer live in the multi-band
+    # receiver's PVT block, so those options route a single-1C conf
+    # through it as well
     mode = config.property("PVT.positioning_mode", "Single")
-    if suffixes and (suffixes != ["1C"] or mode != "Single"):
+    if suffixes and (suffixes != ["1C"] or mode != "Single"
+                     or config.property("PVT.rinex_output_enabled", False)):
         return make_multiband_receiver(config, suffixes, engine)
     return _make_l1_receiver(config, satellites, engine)
 

@@ -84,6 +84,10 @@ class BandConfig:
     fll_bw_hz: float = 35.0
     pull_in_time_s: float = 0.5
     early_late_space_chips: float = 0.5
+    #: close the loops on the pilot component where the signal has one
+    #: (Tracking_XX.track_pilot; E1-C CS25 — pure-pilot bands like
+    #: L5/E5a/E5b/E6 always track pilot regardless)
+    track_pilot: bool = False
     # GLONASS FDMA: satellite slot number -> frequency channel k (-7..6)
     freq_slots: dict[int, int] = dataclasses.field(default_factory=dict)
 
@@ -108,6 +112,9 @@ class MultiBandConfig:
     #: record this receiver's own epoch observables (prn ->
     #: (pseudorange, phase cycles)) so it can serve as an RTK base
     log_base_obs: bool = False
+    #: log every observable epoch for RINEX obs/nav output
+    #: (PVT.rinex_output_enabled, rinex_printer.cc role)
+    rinex_output: bool = False
 
 
 class _Band:
@@ -152,8 +159,23 @@ class _Band:
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
                 early_late_space_chips=0.15,
-                very_early_late_space_chips=0.6)
-            self.code_table = lambda prn: galileo_e1_subchips(prn, "B", True)
+                very_early_late_space_chips=0.6,
+                track_pilot=cfg.track_pilot)
+            if cfg.track_pilot:
+                # E1-C pilot tracking (Tracking_1B.track_pilot=true, the
+                # reference's default E1 configuration,
+                # dll_pll_veml_tracking.cc:211-246): loops close on the
+                # CS25-wiped pilot, I/NAV symbols come from the E1-B
+                # data-bank correlation on the SAME phase (both
+                # components ride the in-phase carrier, unlike L5)
+                self.code_table = lambda prn: galileo_e1_subchips(
+                    prn, "C", True)
+                self.data_code_table = lambda prn: galileo_e1_subchips(
+                    prn, "B", True)
+                self.symbol_axis = "data_real"
+            else:
+                self.code_table = lambda prn: galileo_e1_subchips(
+                    prn, "B", True)
             self.new_decoder = GalileoInavDecoder
         elif sx == "1G":
             # GLONASS L1 C/A FDMA: shared 511-chip m-sequence, per-slot
@@ -215,11 +237,11 @@ class _Band:
                 pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
-                # ~1.17 samples/chip: integer-sample acquisition delay
-                # (+ the reference replica's AUX_CEIL one-sample timing
-                # convention) can miss the code phase by > 1 chip; a
-                # 1-chip spacing keeps the E-L capture range above that
-                early_late_space_chips=max(cfg.early_late_space_chips, 1.0))
+                # acquisition delivers the delay centered (the replica's
+                # AUX_CEIL one-sample bias is corrected at the source,
+                # acquisition/pcps.py), so the configured spacing holds
+                # even at ~1.17 samples/chip
+                early_late_space_chips=cfg.early_late_space_chips)
             self.code_table = lambda prn: np.asarray(
                 gps_l5q_code(prn), dtype=np.float32)
             self.data_code_table = lambda prn: np.asarray(
@@ -249,7 +271,7 @@ class _Band:
                 pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
-                early_late_space_chips=max(cfg.early_late_space_chips, 1.0))
+                early_late_space_chips=cfg.early_late_space_chips)
             self.code_table = lambda prn: np.asarray(
                 galileo_e5a_code(prn, "Q"), dtype=np.float32)
             self.data_code_table = lambda prn: np.asarray(
@@ -315,7 +337,7 @@ class _Band:
                 pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
-                early_late_space_chips=max(cfg.early_late_space_chips, 1.0))
+                early_late_space_chips=cfg.early_late_space_chips)
             self.code_table = lambda prn: np.asarray(
                 galileo_e5b_code(prn, "Q"), dtype=np.float32)
             self.data_code_table = lambda prn: np.asarray(
@@ -407,8 +429,7 @@ class _Band:
                 pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 fll_bw_hz=cfg.fll_bw_hz, pull_in_time_s=cfg.pull_in_time_s,
-                early_late_space_chips=max(
-                    cfg.early_late_space_chips, 1.0))
+                early_late_space_chips=cfg.early_late_space_chips)
             self.code_table = lambda prn: np.asarray(
                 beidou_b3i_code(prn), dtype=np.float32)
             self.new_decoder = BeidouD1PeriodDecoder
@@ -537,6 +558,8 @@ class MultiBandReceiver:
         self._ppp = None
         #: DO-229 corrections store, created when an S1 band decodes
         self.sbas = None
+        #: (rx_tow_ms, [obs dict, ...]) epochs when cfg.rinex_output
+        self.rinex_log: list[tuple[float, list[dict]]] = []
         self._chan_band: dict[int, _Band] = {
             band.ch_offset + i: band
             for band in self.bands for i in range(band.cfg.n_channels)}
@@ -716,6 +739,29 @@ class MultiBandReceiver:
             hdop=hdop, vdop=vdop, n_sats=sol.n_sats,
             residuals_m=sol.residuals_m, lat_rad=lat, lon_rad=lon,
             height_m=hgt, rx_tow_s=rx_tow_ms * 1e-3)
+
+    def write_rinex(self, obs_path, nav_path) -> tuple[str, str]:
+        """Write the logged observable epochs and collected ephemerides
+        as RINEX 3.02 obs + mixed nav files (rinex_printer.cc role); the
+        obs header carries one C/L/D/S quartet per configured band."""
+        from gnss_sdr_tpu.monitor.rinex import RinexNavWriter, RinexObsWriter
+
+        week = 0
+        for eph in self.ephemerides.values():
+            week = getattr(eph, "week_number", 0)
+            break
+        approx = tuple(self.solutions[-1].pos_ecef) if self.solutions \
+            else (0.0, 0.0, 0.0)
+        obs = RinexObsWriter(obs_path, approx_pos=approx,
+                             bands=[b.cfg.suffix for b in self.bands])
+        for tow_ms, rows in self.rinex_log:
+            obs.add_epoch(week, tow_ms * 1e-3, rows)
+        obs.close()
+        nav = RinexNavWriter(nav_path)
+        for (sysc, _prn), eph in self.ephemerides.items():
+            nav.add_ephemeris(eph, system=sysc)
+        nav.close()
+        return str(obs_path), str(nav_path)
 
     def set_rtk_base(self, base_pos_ecef, base_obs: dict,
                      code_sigma_m: float = 0.5) -> None:
@@ -910,6 +956,8 @@ class MultiBandReceiver:
                     self._chan_sat.pop(gch, None)
                     break
                 symbol = (p.data_prompt.imag if band.symbol_axis == "imag"
+                          else p.data_prompt.real
+                          if band.symbol_axis == "data_real"
                           else p.prompt.real)
                 dec.feed(symbol, p.sample_start + p.length)
                 if dec.tow_at_last_symbol_ms is not None:
@@ -944,6 +992,22 @@ class MultiBandReceiver:
         new = []
         for rows in self.observables.epochs_until(limit):
             rx_tow_ms = rows[0].rx_tow_ms
+            if self.cfg.rinex_output:
+                ep = []
+                for row in rows:
+                    key = self._chan_sat.get(row.channel)
+                    if key is None:
+                        continue
+                    band = self._chan_band[row.channel]
+                    ep.append(dict(
+                        system=key[0], band=band.cfg.suffix, prn=key[1],
+                        pseudorange_m=row.pseudorange_m,
+                        carrier_phase_cycles=row.carrier_phase_rad
+                        / (2.0 * math.pi),
+                        doppler_hz=row.doppler_hz,
+                        cn0_db_hz=row.cn0_db_hz))
+                if ep:
+                    self.rinex_log.append((rx_tow_ms, ep))
             if self.cfg.log_base_obs:
                 rec = {}
                 for row in rows:

@@ -57,8 +57,14 @@ _BLOCK_S = 0.1
 
 
 def _pilot_secondary(band: _Band, prn: int) -> str | None:
-    """Pilot-component secondary code for pure-pilot bands."""
+    """Pilot-component secondary code for pilot-tracked bands."""
     sx = band.cfg.suffix
+    if sx == "1B":
+        if band.tracking.cfg.track_pilot:
+            from gnss_sdr_tpu.codes.galileo_e1 import E1C_SECONDARY
+
+            return E1C_SECONDARY
+        return None
     if sx == "L5":
         from gnss_sdr_tpu.codes.gps_l5 import NH20
 
@@ -88,10 +94,22 @@ class _FastBandCtx:
         self.band = band
         self.k = _K_BY_SUFFIX.get(sx, 1)
         self.sec_len = _SECLEN_BY_SUFFIX.get(sx, 1)
+        extra = {}
+        if sx == "1B" and band.tracking.cfg.track_pilot:
+            # E1-C pilot: extend coherent integration over the full CS25
+            # secondary (100 ms loop closure), the reference's
+            # post-secondary-sync extension
+            # (dll_pll_veml_tracking.cc:1989-2028). At a 10 Hz loop
+            # closure rate the bandwidths must keep B_L*T well under
+            # 0.5 or the loops go unstable.
+            self.k = 25
+            self.sec_len = 25
+            extra = dict(pll_bw_narrow_hz=min(
+                band.tracking.cfg.pll_bw_narrow_hz, 2.0))
         # the engine reads K from the config (the scan configs track
         # per-period, extend_correlation_symbols=1)
         trk_cfg = dataclasses.replace(
-            band.tracking.cfg, extend_correlation_symbols=self.k)
+            band.tracking.cfg, extend_correlation_symbols=self.k, **extra)
         # groups per block so every band's fast block spans _BLOCK_S
         t_group = trk_cfg.code_period_s * self.k
         self.g = max(1, int(round(_BLOCK_S / t_group)))
@@ -496,3 +514,6 @@ class ProductionMultiBandReceiver:
 
     def set_rtk_base(self, *args, **kwargs):
         return self.receiver.set_rtk_base(*args, **kwargs)
+
+    def write_rinex(self, *args, **kwargs):
+        return self.receiver.write_rinex(*args, **kwargs)

@@ -289,3 +289,183 @@ class SuplClient:
                 return assistance
             else:
                 raise ValueError(f"unexpected ULP message {msg}")
+
+
+class SuplPerClient:
+    """SUPL 1.0 session over real ASN.1 UPER — wire-compatible with
+    standard SUPL servers (the gnss_sdr_supl_client.cc:1-1063 role,
+    byte-validated against the reference's own asn1c encoder in
+    tests/test_supl_per.py).
+
+    Flow (proxy mode, SET-initiated): SUPLSTART -> SUPLRESPONSE ->
+    SUPLPOSINIT(requestedAssistData) -> SUPLPOS* (RRLP assistanceData,
+    each acknowledged) -> SUPLEND.
+    """
+
+    def __init__(self, host: str, port: int = 7275,
+                 imsi: str = "240010123456789",
+                 mcc: int = 244, mnc: int = 5, lac: int = 0x59e2,
+                 ci: int = 0x3284, use_tls: bool = False,
+                 timeout_s: float = 10.0):
+        self.host = host
+        self.port = port
+        self.imsi = imsi
+        self.cell = dict(refMCC=mcc, refMNC=mnc, refLAC=lac, refCI=ci)
+        self.use_tls = use_tls
+        self.timeout_s = timeout_s
+
+    # -- wire helpers ------------------------------------------------------
+    @staticmethod
+    def _read_pdu(sock) -> dict:
+        from gnss_sdr_tpu.receiver.supl_messages import decode_ulp
+
+        head = _recv_exact(sock, 2)
+        total = struct.unpack(">H", head)[0]
+        body = _recv_exact(sock, total - 2)
+        return decode_ulp(head + body)
+
+    def _set_session(self, session_id: int) -> dict:
+        from gnss_sdr_tpu.receiver.supl_messages import imsi_bcd
+
+        return {"setSessionID": {"sessionId": session_id,
+                                 "setId": {"imsi": imsi_bcd(self.imsi)}}}
+
+    def _capabilities(self) -> dict:
+        return {
+            "posTechnology": {
+                "agpsSETassisted": True, "agpsSETBased": True,
+                "autonomousGPS": False, "aFLT": False, "eCID": False,
+                "eOTD": False, "oTDOA": False},
+            "prefMethod": 1,        # agpsSETBasedPreferred
+            "posProtocol": {"tia801": False, "rrlp": True, "rrc": False},
+        }
+
+    def _location_id(self) -> dict:
+        return {"cellInfo": {"gsmCell": dict(self.cell)}, "status": 1}
+
+    # -- session -----------------------------------------------------------
+    def fetch_assistance(self, session_id: int = 1) -> AssistanceData:
+        sock = socket.create_connection((self.host, self.port),
+                                        timeout=self.timeout_s)
+        if self.use_tls:
+            import ssl
+
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            sock = ctx.wrap_socket(sock, server_hostname=self.host)
+        try:
+            return self._run_session(sock, session_id)
+        finally:
+            sock.close()
+
+    def _run_session(self, sock, session_id: int) -> AssistanceData:
+        from gnss_sdr_tpu.receiver.supl_messages import (
+            decode_rrlp, encode_rrlp, encode_ulp,
+            ephemeris_from_uncompressed)
+
+        version = {"maj": 1, "min": 0, "servind": 0}
+        sock.sendall(encode_ulp({
+            "version": version, "sessionID": self._set_session(session_id),
+            "message": {"msSUPLSTART": {
+                "sETCapabilities": self._capabilities(),
+                "locationId": self._location_id()}}}))
+        resp = self._read_pdu(sock)
+        if "msSUPLRESPONSE" not in resp["message"]:
+            raise ValueError(f"expected SUPLRESPONSE, got "
+                             f"{list(resp['message'])}")
+        # echo the server's slpSessionID in all subsequent messages
+        session = dict(self._set_session(session_id))
+        slp = resp["sessionID"].get("slpSessionID")
+        if slp is not None:
+            session["slpSessionID"] = slp
+        sock.sendall(encode_ulp({
+            "version": version, "sessionID": session,
+            "message": {"msSUPLPOSINIT": {
+                "sETCapabilities": self._capabilities(),
+                "requestedAssistData": {
+                    "almanacRequested": False, "utcModelRequested": True,
+                    "ionosphericModelRequested": True,
+                    "dgpsCorrectionsRequested": False,
+                    "referenceLocationRequested": True,
+                    "referenceTimeRequested": True,
+                    "acquisitionAssistanceRequested": False,
+                    "realTimeIntegrityRequested": False,
+                    "navigationModelRequested": True},
+                "locationId": self._location_id()}}}))
+        assistance = AssistanceData()
+        while True:
+            pdu = self._read_pdu(sock)
+            msg = pdu["message"]
+            if "msSUPLEND" in msg:
+                return assistance
+            if "msSUPLPOS" not in msg:
+                raise ValueError(f"unexpected ULP message {list(msg)}")
+            payload = msg["msSUPLPOS"]["posPayLoad"].get("rrlpPayload")
+            if payload is None:
+                continue
+            rrlp = decode_rrlp(bytes(payload))
+            comp = rrlp["component"]
+            body = comp.get("assistanceData") \
+                or comp.get("msrPositionReq")
+            if body is None:
+                continue
+            gps = body.get("gps-AssistData")
+            if gps is not None:
+                self._consume_control_header(gps["controlHeader"],
+                                             assistance,
+                                             ephemeris_from_uncompressed)
+            # acknowledge the assistance component (RRLP ack)
+            ack = encode_rrlp({
+                "referenceNumber": rrlp["referenceNumber"],
+                "component": {"assistanceDataAck": None}})
+            sock.sendall(encode_ulp({
+                "version": version, "sessionID": session,
+                "message": {"msSUPLPOS": {
+                    "posPayLoad": {"rrlpPayload": ack}}}}))
+
+    @staticmethod
+    def _consume_control_header(ch: dict, assistance: AssistanceData,
+                                eph_from) -> None:
+        nav = ch.get("navigationModel")
+        if nav is not None:
+            for el in nav["navModelList"]:
+                st = el["satStatus"]
+                fields = st.get("newSatelliteAndModelUC") \
+                    or st.get("newNaviModelUC")
+                if fields is not None:
+                    eph = eph_from(el["satelliteID"], fields)
+                    assistance.ephemerides[eph.prn] = eph
+        iono = ch.get("ionosphericModel")
+        if iono is not None:
+            assistance.iono_alpha = tuple(
+                iono[f"alfa{k}"] * s for k, s in
+                enumerate((2.0 ** -30, 2.0 ** -27, 2.0 ** -24,
+                           2.0 ** -24)))
+            assistance.iono_beta = tuple(
+                iono[f"beta{k}"] * s for k, s in
+                enumerate((2.0 ** 11, 2.0 ** 14, 2.0 ** 16, 2.0 ** 16)))
+        utc = ch.get("utcModel")
+        if utc is not None:
+            assistance.utc_a0 = utc["utcA0"] * 2.0 ** -30
+            assistance.utc_a1 = utc["utcA1"] * 2.0 ** -50
+        rt = ch.get("referenceTime")
+        if rt is not None:
+            assistance.ref_time_tow_s = \
+                rt["gpsTime"]["gpsTOW23b"] * 0.08
+            assistance.ref_time_week = rt["gpsTime"]["gpsWeek"]
+        loc = ch.get("refLocation")
+        if loc is not None:
+            geo = bytes(loc["threeDLocation"])
+            # 3GPP 23.032 ellipsoid point (type 0/1/8/9): 24-bit
+            # lat (sign+23), 24-bit two's-complement lon
+            if len(geo) >= 7:
+                lat_raw = int.from_bytes(geo[1:4], "big")
+                sign = -1.0 if lat_raw & 0x800000 else 1.0
+                lat = sign * (lat_raw & 0x7FFFFF) * 90.0 / 2 ** 23
+                lon_raw = int.from_bytes(geo[4:7], "big", signed=False)
+                if lon_raw & 0x800000:
+                    lon_raw -= 1 << 24
+                lon = lon_raw * 360.0 / 2 ** 24
+                assistance.ref_lat_deg = lat
+                assistance.ref_lon_deg = lon

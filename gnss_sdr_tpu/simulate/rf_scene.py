@@ -163,14 +163,19 @@ def generate_galileo_scene(
     tau_grid_hz: float = 10.0,
     noise: bool = True,
     bandlimit: bool = True,
+    pilot: bool = False,
 ) -> np.ndarray:
     """Geometry-accurate Galileo E1-B scene with live I/NAV data.
 
     ``bits_start_tow_s`` must be even (a page boundary). Ephemerides use
     the same Kepler parameterization as GPS (GST time base == simulation
-    time base; BGD carried in eph.tgd_s).
+    time base; BGD carried in eph.tgd_s). With ``pilot=True`` the full
+    composite e(t) = (e_B d_B - e_C c_CS25)/sqrt(2) is emitted (Galileo
+    OS SIS ICD eq. 3; CS25 aligned to the 100 ms grid of the page
+    structure) and ``cn0_db_hz`` refers to TOTAL power.
     """
-    from gnss_sdr_tpu.codes.galileo_e1 import galileo_e1_subchips
+    from gnss_sdr_tpu.codes.galileo_e1 import (E1C_SECONDARY,
+                                               galileo_e1_subchips)
 
     e1_chip_rate = 1.023e6
     sub_per_code = 4092 * 12
@@ -201,6 +206,15 @@ def generate_galileo_scene(
         sym_idx = np.clip(np.floor(t_tx / symbol_s).astype(np.int64),
                           0, len(symbols) - 1)
         spread = spread * symbols[sym_idx]
+        if pilot:
+            sub_c = galileo_e1_subchips(prn, "C", cboc=True) \
+                .astype(np.float64)
+            cs25 = np.array([1.0 if c == "0" else -1.0
+                             for c in E1C_SECONDARY])
+            per_idx = np.floor(t_tx / symbol_s).astype(np.int64)
+            pilot_spread = sub_c[sub_idx % sub_per_code] \
+                * cs25[per_idx % 25]
+            spread = (spread - pilot_spread) / np.sqrt(2.0)
         phase = -2.0 * np.pi * CARRIER_HZ * tau_t
         sig = spread * np.exp(1j * phase)
         out = sig if out is None else out + sig

@@ -129,3 +129,38 @@ def test_reference_fixture_truth():
     assert abs(res.doppler_hz - 1680.0) <= 666.0
     err = abs(res.delay_samples - 524.0)
     assert min(err, SAMPLES_PER_CODE - err) < 0.5 * CHIP_SAMPLES
+
+
+def test_delay_unbiased_at_wideband_rates():
+    """The AUX_CEIL replica timing bias is corrected at the source: the
+    measured delay error stays inside the +-0.5-sample integer
+    quantization across fractional true delays, at an L1-class rate AND
+    at ~1.17 samples/chip (the L5/E5a/E5b regime where an uncorrected
+    one-sample bias exceeds 0.5 chips and used to force a 1-chip E-L
+    floor). Reference tolerance model:
+    gps_l1_ca_pcps_acquisition_test.cc:360-361."""
+    from gnss_sdr_tpu.acquisition.adapters import make_gps_l1ca_acquisition
+    from gnss_sdr_tpu.simulate import SatelliteParams, generate_gps_l1ca
+
+    for fs in (2.5e6, 1.2e6):
+        spc = fs / (1.023e6 / 1023)
+        errs = []
+        for frac in np.linspace(0.0, 20.0, 7):
+            d = 500.0 + frac
+            sig = generate_gps_l1ca(
+                [SatelliteParams(prn=7, cn0_db_hz=55.0, delay_samples=d,
+                                 doppler_hz=800.0)], fs, 0.05, seed=2)
+            acq = make_gps_l1ca_acquisition([7], fs, doppler_max=4000,
+                                            doppler_step=250, pfa=0.001)
+            res = acq.search(sig[: acq.cfg.consumed_samples * 2])[7]
+            err = (res.delay_samples - d) % spc
+            if err > spc / 2:
+                err -= spc
+            errs.append(err)
+        errs = np.asarray(errs)
+        assert np.abs(errs).max() <= 0.6, (fs, errs)
+        # centered, not biased: the mean error is a fraction of a sample
+        assert abs(float(errs.mean())) < 0.35, (fs, errs)
+        # at 1.17 samples/chip this is < 0.5 chips of worst-case error
+        chips = np.abs(errs).max() * 1.023e6 * 1023 / (fs * 1023)
+        assert chips < 0.5

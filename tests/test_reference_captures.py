@@ -40,8 +40,12 @@ def test_galileo_e1_acquisition_on_reference_capture():
     res = acq.search(x)[1]
     assert res.positive, f"stat {res.test_statistic} <= {res.threshold}"
     # reference truth/tolerances (:304-305, :364-371); their delay
-    # tolerance is 0.175 chips = 684 ns
-    delay_err_chips = abs(res.delay_samples - 2920.0) * 1023.0 / fs
+    # tolerance is 0.175 chips = 684 ns. The reference's expected 2920
+    # was measured with its AUX_CEIL replica convention (+1-sample
+    # bias); our engine corrects that bias at the source
+    # (acquisition/pcps.py _make_result), so the convention-equivalent
+    # comparison adds the sample back.
+    delay_err_chips = abs(res.delay_samples + 1.0 - 2920.0) * 1023.0 / fs
     doppler_err = abs(res.doppler_hz - (-632.0))
     assert delay_err_chips < 0.175, res.delay_samples
     assert doppler_err <= 166.67, res.doppler_hz  # 2/(3*4 ms)
