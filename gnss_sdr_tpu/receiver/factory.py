@@ -313,10 +313,32 @@ def make_multiband_receiver(config: Configuration, suffixes: list[str],
         rec = ProductionMultiBandReceiver(cfg, bands,
                                           assisted_ephemeris=assisted)
         _load_precise_products(config, rec.receiver)
+        _arm_rtk_base(config, rec.receiver)
         return rec
     rec = MultiBandReceiver(cfg, bands, assisted_ephemeris=assisted)
     _load_precise_products(config, rec)
+    _arm_rtk_base(config, rec)
     return rec
+
+
+def _arm_rtk_base(config: Configuration, rec) -> None:
+    """File-based base-station input for the "configure and run" RTK
+    workflow (the rtklib_pvt_gs base RTCM/RINEX-input role):
+    ``PVT.rtk_base_position`` (ECEF meters) + ``PVT.rtk_base_obs_file``
+    (a RINEX obs file, e.g. the base receiver's own
+    PVT.rinex_output_enabled product)."""
+    if not config.property("PVT.positioning_mode",
+                           "Single").startswith("RTK"):
+        return
+    path = config.property("PVT.rtk_base_obs_file", "")
+    pos_text = config.property("PVT.rtk_base_position", "")
+    if not path or not pos_text:
+        return
+    from gnss_sdr_tpu.pvt.rtk_io import base_obs_from_rinex
+
+    pos = np.array([float(v) for v in
+                    pos_text.replace(",", " ").split()])
+    rec.set_rtk_base(pos, base_obs_from_rinex(path))
 
 
 def _load_precise_products(config: Configuration, rec) -> None:

@@ -779,6 +779,12 @@ class MultiBandReceiver:
     def _rtk_epoch(self, rows, rx_tow_ms: float) -> PvtSolution | None:
         """One DD-EKF epoch against the base observables (GPS L1 rows)."""
         base_rec = self._rtk_base_obs.get(rx_tow_ms)
+        if base_rec is None and self._rtk_base_obs:
+            # file-sourced base epochs carry text-precision timestamps
+            # (RINEX 1e-7 s fields): accept the nearest within 0.5 ms
+            key = min(self._rtk_base_obs, key=lambda k: abs(k - rx_tow_ms))
+            if abs(key - rx_tow_ms) <= 0.5:
+                base_rec = self._rtk_base_obs[key]
         if base_rec is None:
             return None
         rover = {}
