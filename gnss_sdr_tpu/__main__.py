@@ -137,6 +137,10 @@ def main(argv=None) -> int:
             kml.close()
         if server:
             server.stop()
+        mons = getattr(receiver, "monitors", None) or getattr(
+            getattr(receiver, "receiver", None), "monitors", None)
+        if mons is not None:
+            mons.close()
         if config.property("PVT.rinex_output_enabled", False) \
                 and hasattr(receiver, "write_rinex"):
             name = config.property("PVT.rinex_name", "GSDR")

@@ -20,7 +20,8 @@ import math
 import socket
 
 from gnss_sdr_tpu.monitor.proto import (
-    gnss_synchro_pb2, monitor_pvt_pb2, nav_message_pb2)
+    galileo_ephemeris_pb2, gnss_synchro_pb2, gps_ephemeris_pb2,
+    monitor_pvt_pb2, nav_message_pb2)
 
 
 def synchro_to_proto(s) -> gnss_synchro_pb2.GnssSynchro:
@@ -69,6 +70,45 @@ def decode_monitor_pvt(payload: bytes) -> monitor_pvt_pb2.MonitorPvt:
 
 def decode_nav_message(payload: bytes) -> nav_message_pb2.navMsg:
     return nav_message_pb2.navMsg.FromString(payload)
+
+
+def decode_ephemeris(payload: bytes):
+    """Decode one ephemeris-monitor datagram. The reference's protobuf
+    mode prefixes the message with a one-byte system tag ('G' GPS /
+    'E' Galileo, monitor_ephemeris_udp_sink.cc:42-57)."""
+    tag, body = payload[:1], payload[1:]
+    if tag == b"G":
+        return gps_ephemeris_pb2.GpsEphemeris.FromString(body)
+    if tag == b"E":
+        return galileo_ephemeris_pb2.GalileoEphemeris.FromString(body)
+    raise ValueError(f"unknown ephemeris system tag {tag!r}")
+
+
+def _fill_kepler(m, eph) -> None:
+    """Common Kepler + clock fields (pvt.ephemeris.GpsEphemeris names →
+    reference wire names)."""
+    m.PRN = int(eph.prn)
+    m.M_0 = float(eph.m0_rad)
+    m.delta_n = float(eph.delta_n_rad_s)
+    m.ecc = float(eph.ecc)
+    m.sqrtA = float(eph.sqrt_a)
+    m.OMEGA_0 = float(eph.omega0_rad)
+    m.i_0 = float(eph.i0_rad)
+    m.omega = float(eph.omega_rad)
+    m.OMEGAdot = float(eph.omega_dot_rad_s)
+    m.idot = float(eph.idot_rad_s)
+    m.Cuc = float(eph.cuc_rad)
+    m.Cus = float(eph.cus_rad)
+    m.Crc = float(eph.crc_m)
+    m.Crs = float(eph.crs_m)
+    m.Cic = float(eph.cic_rad)
+    m.Cis = float(eph.cis_rad)
+    m.toe = int(eph.toe_s)
+    m.toc = int(eph.toc_s)
+    m.af0 = float(eph.af0)
+    m.af1 = float(eph.af1)
+    m.af2 = float(eph.af2)
+    m.WN = int(eph.week_number)
 
 
 class UdpMonitor:
@@ -160,6 +200,40 @@ class UdpMonitor:
                 "gdop": sol.gdop, "pdop": sol.pdop, "hdop": sol.hdop,
                 "vdop": sol.vdop, "valid_sats": sol.n_sats,
             }).encode()
+        self._sock.sendto(payload, self.address)
+        return len(payload)
+
+    # -- ephemeris ------------------------------------------------------------
+
+    def send_gps_ephemeris(self, eph) -> int:
+        """Stream one decoded GPS ephemeris (Monitor_Ephemeris_Udp_Sink
+        counterpart, 'G'-tagged GpsEphemeris protobuf;
+        monitor_ephemeris_udp_sink.cc:80-96)."""
+        m = gps_ephemeris_pb2.GpsEphemeris()
+        _fill_kepler(m, eph)
+        m.SV_health = int(eph.sv_health)
+        m.TGD = float(eph.tgd_s)
+        m.IODC = int(eph.iodc)
+        m.IODE_SF2 = int(eph.iode)
+        m.IODE_SF3 = int(eph.iode)
+        payload = b"G" + m.SerializeToString()
+        self._sock.sendto(payload, self.address)
+        return len(payload)
+
+    def send_galileo_ephemeris(self, eph, *, bgd_e1e5a: float = 0.0,
+                               bgd_e1e5b: float | None = None) -> int:
+        """Stream one decoded Galileo ephemeris ('E'-tagged
+        GalileoEphemeris protobuf). Our INAV assembler stores the BGD
+        playing the TGD role in ``tgd_s`` (telemetry/galileo_inav.py);
+        pass the E1-E5a term explicitly when both are known."""
+        m = galileo_ephemeris_pb2.GalileoEphemeris()
+        _fill_kepler(m, eph)
+        m.E1B_HS = int(eph.sv_health)
+        m.IOD_ephemeris = int(eph.iode)
+        m.IOD_nav = int(eph.iode)
+        m.BGD_E1E5a = float(bgd_e1e5a)
+        m.BGD_E1E5b = float(eph.tgd_s if bgd_e1e5b is None else bgd_e1e5b)
+        payload = b"E" + m.SerializeToString()
         self._sock.sendto(payload, self.address)
         return len(payload)
 

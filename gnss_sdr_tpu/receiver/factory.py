@@ -306,6 +306,9 @@ def make_multiband_receiver(config: Configuration, suffixes: list[str],
     bands = [make_band_config(config, sx) for sx in suffixes]
     agnss = _load_agnss(config)
     assisted = ({("G", p): e for p, e in agnss.items()} if agnss else None)
+    from gnss_sdr_tpu.monitor.wiring import ConfigMonitors
+
+    monitors = ConfigMonitors.from_config(config)
     if engine == "production":
         from gnss_sdr_tpu.receiver.production_multiband import (
             ProductionMultiBandReceiver)
@@ -314,10 +317,12 @@ def make_multiband_receiver(config: Configuration, suffixes: list[str],
                                           assisted_ephemeris=assisted)
         _load_precise_products(config, rec.receiver)
         _arm_rtk_base(config, rec.receiver)
+        rec.receiver.monitors = monitors
         return rec
     rec = MultiBandReceiver(cfg, bands, assisted_ephemeris=assisted)
     _load_precise_products(config, rec)
     _arm_rtk_base(config, rec)
+    rec.monitors = monitors
     return rec
 
 
@@ -374,11 +379,16 @@ def make_receiver(config: Configuration, satellites=None,
         engine = config.property("GNSS-SDR.engine", "production")
     _check("GNSS-SDR.engine", engine, SUPPORTED_ENGINES)
     suffixes = _configured_suffixes(config)
-    # PPP/RTK estimators and the RINEX printer live in the multi-band
-    # receiver's PVT block, so those options route a single-1C conf
-    # through it as well
+    # PPP/RTK estimators, the RINEX printer and the UDP monitor taps
+    # live in the multi-band receiver's PVT block, so those options
+    # route a single-1C conf through it as well
     mode = config.property("PVT.positioning_mode", "Single")
-    if suffixes and (suffixes != ["1C"] or mode != "Single"
+    monitored = any(config.property(k, False) for k in (
+        "Monitor.enable_monitor", "TrackingMonitor.enable_monitor",
+        "AcquisitionMonitor.enable_monitor",
+        "NavDataMonitor.enable_monitor", "PVT.enable_monitor",
+        "PVT.enable_monitor_ephemeris"))
+    if suffixes and (suffixes != ["1C"] or mode != "Single" or monitored
                      or config.property("PVT.rinex_output_enabled", False)):
         return make_multiband_receiver(config, suffixes, engine)
     return _make_l1_receiver(config, satellites, engine)

@@ -558,6 +558,9 @@ class MultiBandReceiver:
         self._ppp = None
         #: DO-229 corrections store, created when an S1 band decodes
         self.sbas = None
+        #: optional monitor.wiring.ConfigMonitors set by the factory —
+        #: UDP streaming taps (gnss_flowgraph.cc:190-275 counterpart)
+        self.monitors = None
         #: (rx_tow_ms, [obs dict, ...]) epochs when cfg.rinex_output
         self.rinex_log: list[tuple[float, list[dict]]] = []
         self._chan_band: dict[int, _Band] = {
@@ -937,6 +940,16 @@ class MultiBandReceiver:
                 self.observables.set_channel_carrier(
                     fsm.channel_id, band.carrier_hz(prn))
                 self._chan_sat[fsm.channel_id] = (band.system, prn)
+                if self.monitors is not None \
+                        and self.monitors.acquisition is not None:
+                    from gnss_sdr_tpu.core_types import GnssSynchro
+                    self.monitors.acq(GnssSynchro(
+                        system=band.system, signal=band.cfg.suffix,
+                        prn=prn, channel_id=fsm.channel_id, fs=band.fs,
+                        acq_delay_samples=res.delay_samples,
+                        acq_doppler_hz=res.doppler_hz,
+                        acq_samplestamp_samples=res.samplestamp_samples,
+                        flag_valid_acquisition=True))
             elif band.sat_pool:
                 # rotate the pool on a negative search (flowgraph
                 # push_back_signal semantics, gnss_flowgraph.cc:1924-1940)
@@ -946,6 +959,11 @@ class MultiBandReceiver:
     def _feed_band(self, band: _Band, per_channel) -> None:
         # anchors go to the observables engine in common-fs sample units
         scale = self.cfg.fs / band.fs
+        if self.monitors is not None and self.monitors.tracking is not None:
+            self.monitors.period([
+                p for ch, periods in enumerate(per_channel)
+                if band.fsms[ch].state is ChannelState.TRACKING
+                for p in periods])
         for local_ch, periods in enumerate(per_channel):
             fsm = band.fsms[local_ch]
             if fsm.state is not ChannelState.TRACKING:
@@ -986,8 +1004,36 @@ class MultiBandReceiver:
             key = (band.system, fsm.prn)
             if dec.has_full_ephemeris() and key not in self.ephemerides:
                 self.ephemerides[key] = band.make_ephemeris(fsm.prn, dec)
+                if self.monitors is not None:
+                    self.monitors.ephemeris(band.system,
+                                            self.ephemerides[key])
         if band.system == "S":
             self._drain_sbas(band)
+
+    def _stream_epoch(self, rows) -> None:
+        """Map one aligned observables epoch onto GnssSynchro rows for
+        the ``Monitor`` group tap (gnss_synchro_monitor on the
+        observables stream, gnss_flowgraph.cc:190-216)."""
+        from gnss_sdr_tpu.core_types import GnssSynchro
+
+        out = []
+        for row in rows:
+            key = self._chan_sat.get(row.channel)
+            band = self._chan_band.get(row.channel)
+            out.append(GnssSynchro(
+                system=key[0] if key else "",
+                signal=band.cfg.suffix if band is not None else "",
+                prn=row.prn, channel_id=row.channel,
+                fs=self.cfg.fs,
+                cn0_db_hz=row.cn0_db_hz,
+                carrier_doppler_hz=row.doppler_hz,
+                carrier_phase_rads=row.carrier_phase_rad,
+                flag_valid_symbol_output=True,
+                pseudorange_m=row.pseudorange_m,
+                rx_time=row.rx_tow_ms * 1e-3,
+                flag_valid_pseudorange=True,
+                interp_tow_ms=row.tow_ms))
+        self.monitors.epoch(out)
 
     def _run_pvt(self, limit: float | None = None) -> list[PvtSolution]:
         if limit is None:
@@ -998,6 +1044,9 @@ class MultiBandReceiver:
         new = []
         for rows in self.observables.epochs_until(limit):
             rx_tow_ms = rows[0].rx_tow_ms
+            if self.monitors is not None \
+                    and self.monitors.observables is not None:
+                self._stream_epoch(rows)
             if self.cfg.rinex_output:
                 ep = []
                 for row in rows:
@@ -1083,6 +1132,9 @@ class MultiBandReceiver:
                 self._last_solve_tow_ms = rx_tow_ms
                 self.solutions.append(sol)
                 new.append(sol)
+        if self.monitors is not None:
+            for sol in new:
+                self.monitors.pvt(sol)
         return new
 
 

@@ -148,3 +148,46 @@ def test_udp_monitor_protobuf_roundtrip():
     assert nav.prn == 5 and nav.nav_message == "10" * 150
     mon.close()
     rx.close()
+
+
+def test_udp_ephemeris_sink_roundtrip():
+    """Monitor_Ephemeris_Udp_Sink counterpart: 'G'/'E'-tagged protobuf
+    ephemeris datagrams (monitor_ephemeris_udp_sink.cc:42-96,
+    docs/protobuf/{gps,galileo}_ephemeris.proto field numbering)."""
+    from gnss_sdr_tpu.monitor.udp_monitor import decode_ephemeris
+    from gnss_sdr_tpu.pvt.ephemeris import GpsEphemeris
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    mon = UdpMonitor("127.0.0.1", port)
+
+    eph = GpsEphemeris(prn=17, week_number=2260, iodc=44, iode=44,
+                       toc_s=345600.0, af0=4.2e-5, af1=-1.1e-11,
+                       tgd_s=5.6e-9, toe_s=345600.0, sqrt_a=5153.71,
+                       ecc=0.0123, m0_rad=0.5, omega0_rad=-1.2,
+                       i0_rad=0.96, omega_rad=2.2,
+                       omega_dot_rad_s=-8.1e-9, sv_health=0)
+    mon.send_gps_ephemeris(eph)
+    data, _ = rx.recvfrom(65536)
+    assert data[:1] == b"G"
+    m = decode_ephemeris(data)
+    assert m.PRN == 17 and m.WN == 2260 and m.IODC == 44
+    np.testing.assert_allclose(m.sqrtA, 5153.71)
+    np.testing.assert_allclose(m.TGD, 5.6e-9)
+    np.testing.assert_allclose(m.M_0, 0.5)
+    assert m.toe == 345600
+
+    # Galileo path: INAV assembler stores BGD(E1,E5b) in tgd_s
+    eph.prn = 11
+    eph.tgd_s = -2.3e-9
+    mon.send_galileo_ephemeris(eph, bgd_e1e5a=-1.0e-9)
+    data, _ = rx.recvfrom(65536)
+    assert data[:1] == b"E"
+    g = decode_ephemeris(data)
+    assert g.PRN == 11 and g.IOD_ephemeris == 44
+    np.testing.assert_allclose(g.BGD_E1E5b, -2.3e-9)
+    np.testing.assert_allclose(g.BGD_E1E5a, -1.0e-9)
+    mon.close()
+    rx.close()

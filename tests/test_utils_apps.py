@@ -1,6 +1,7 @@
 """Utility applications (reference src/utils/ + AN packet printer):
 rinex2assist, nav-listener, obsdiff, RINEX nav reader, ANPP encoder."""
 
+import pytest
 import socket
 import threading
 
@@ -161,3 +162,50 @@ def test_obsdiff_single_differences(tmp_path):
     assert stats["C1C"]["n"] == 10
     assert abs(stats["C1C"]["mean"] - 2.5) < 1e-6
     assert abs(stats["L1C"]["mean"]) < 1e-9
+
+
+def test_plot_utilities(tmp_path):
+    """Python counterparts of src/utils/matlab plot scripts render PNGs
+    from our dump artifacts (dll_pll_veml_plot_sample.m,
+    plot_acq_grid.m, gps_l1_ca_pvt_raw_plot_sample.m)."""
+    pytest.importorskip("matplotlib")
+    from gnss_sdr_tpu.monitor.dumps import TrackingDump
+    from gnss_sdr_tpu.tracking.channels import PeriodOutput
+    from gnss_sdr_tpu.utils.plots import (
+        plot_acq_grid, plot_pvt, plot_tracking)
+
+    dump = TrackingDump()
+    rng = np.random.default_rng(3)
+    for k in range(50):
+        dump.append(PeriodOutput(
+            channel=0, prn=7, sample_start=4000 * k, length=4000,
+            rem_code_phase_samples=0.1,
+            prompt=complex(4000.0 + rng.normal(0, 50), rng.normal(0, 50)),
+            corr=np.array([2800 + 10j, 4000 - 30j, 2790 - 5j]),
+            carrier_doppler_hz=1234.5, code_freq_chips=1023001.2,
+            acc_carrier_phase_rad=-9876.5, cn0_db_hz=44.5,
+            carrier_lock_test=0.93, evm=0.21, loss_of_lock=False))
+    npz = tmp_path / "trk.npz"
+    dump.save_npz(npz)
+    out = plot_tracking(npz, out=tmp_path / "trk.png")
+    assert (tmp_path / "trk.png").stat().st_size > 5000
+
+    grid = rng.random((11, 400)).astype(np.float32)
+    grid[5, 123] = 30.0
+    out = plot_acq_grid(grid, np.linspace(-5000, 5000, 11), 4.0e6,
+                        1.023e6, prn=7, out=tmp_path / "acq.png")
+    assert (tmp_path / "acq.png").stat().st_size > 5000
+
+    class Sol:
+        valid = True
+        n_sats = 8
+        gdop, pdop, hdop, vdop = 2.0, 1.7, 1.0, 1.4
+
+        def __init__(self, dl, dh):
+            self.lat_rad = 0.72 + dl
+            self.lon_rad = 0.02 + dl / 2
+            self.height_m = 100.0 + dh
+
+    sols = [Sol(rng.normal(0, 3e-8), rng.normal(0, 2.0)) for _ in range(40)]
+    plot_pvt(sols, out=tmp_path / "pvt.png")
+    assert (tmp_path / "pvt.png").stat().st_size > 5000
